@@ -1,0 +1,193 @@
+// Native suffix-array / LCP / interval-LCP-tree construction for cgx_tpu.
+//
+// Replaces the reference's host-side DC3 + Kasai + recursion_lcp
+// (/root/reference/SuffixArray.c:51-193).  The token string ends in a unique
+// sentinel, so the suffix array is unique and SA-IS here produces output identical
+// to the reference's DC3.  Exposed via a C ABI for ctypes.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// SA-IS over an int alphabet.  s must have length n with values in [0, K); the
+// last element must be the unique minimum (we append an internal 0 sentinel).
+// ---------------------------------------------------------------------------
+void sais_int(const int32_t* s, int32_t* sa, int64_t n, int64_t K,
+              std::vector<int64_t>& bkt_scratch) {
+  if (n == 0) return;
+  if (n == 1) { sa[0] = 0; return; }
+
+  std::vector<uint8_t> t(n);  // 1 = S-type
+  t[n - 1] = 1;
+  for (int64_t i = n - 2; i >= 0; --i)
+    t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
+
+  auto is_lms = [&](int64_t i) { return i > 0 && t[i] && !t[i - 1]; };
+
+  std::vector<int64_t>& bkt = bkt_scratch;
+  bkt.assign(K + 1, 0);
+  for (int64_t i = 0; i < n; ++i) bkt[s[i] + 1]++;
+  for (int64_t i = 0; i < K; ++i) bkt[i + 1] += bkt[i];
+  std::vector<int64_t> bkt_start(bkt.begin(), bkt.end());
+
+  auto induce = [&](const std::vector<int64_t>& lms) {
+    std::fill(sa, sa + n, -1);
+    // place LMS suffixes at bucket ends (in given order, reversed fill)
+    std::vector<int64_t> be(bkt_start.begin() + 1, bkt_start.end());
+    for (int64_t i = (int64_t)lms.size() - 1; i >= 0; --i) {
+      int64_t p = lms[i];
+      sa[--be[s[p]]] = (int32_t)p;
+    }
+    // induce L
+    std::vector<int64_t> bs(bkt_start.begin(), bkt_start.end() - 1);
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t j = sa[i];
+      if (j > 0 && !t[j - 1]) sa[bs[s[j - 1]]++] = (int32_t)(j - 1);
+    }
+    // induce S
+    be.assign(bkt_start.begin() + 1, bkt_start.end());
+    for (int64_t i = n - 1; i >= 0; --i) {
+      int64_t j = sa[i];
+      if (j > 0 && t[j - 1]) sa[--be[s[j - 1]]] = (int32_t)(j - 1);
+    }
+  };
+
+  std::vector<int64_t> lms;
+  for (int64_t i = 1; i < n; ++i)
+    if (is_lms(i)) lms.push_back(i);
+
+  induce(lms);
+
+  // name LMS substrings in SA order
+  int64_t n1 = (int64_t)lms.size();
+  std::vector<int64_t> lms_sorted;
+  lms_sorted.reserve(n1);
+  for (int64_t i = 0; i < n; ++i)
+    if (is_lms(sa[i])) lms_sorted.push_back(sa[i]);
+
+  std::vector<int64_t> name(n, -1);
+  int64_t names = 0;
+  int64_t prev = -1;
+  for (int64_t idx = 0; idx < (int64_t)lms_sorted.size(); ++idx) {
+    int64_t p = lms_sorted[idx];
+    bool diff = false;
+    if (prev < 0) {
+      diff = true;
+    } else {
+      for (int64_t d = 0;; ++d) {
+        if (d > 0 && (is_lms(p + d) || is_lms(prev + d))) {
+          diff = !(is_lms(p + d) && is_lms(prev + d) && s[p + d] == s[prev + d]);
+          break;
+        }
+        if (s[p + d] != s[prev + d] || t[p + d] != t[prev + d]) {
+          diff = true;
+          break;
+        }
+      }
+    }
+    if (diff) { ++names; prev = p; }
+    name[p] = names - 1;
+  }
+
+  std::vector<int64_t> order;
+  if (names < n1) {
+    std::vector<int32_t> s1(n1), sa1(n1);
+    int64_t k = 0;
+    for (int64_t i = 1; i < n; ++i)
+      if (is_lms(i)) s1[k++] = (int32_t)name[i];
+    sais_int(s1.data(), sa1.data(), n1, names, bkt_scratch);
+    // bkt_scratch was clobbered by recursion: recompute for this level
+    bkt.assign(K + 1, 0);
+    for (int64_t i = 0; i < n; ++i) bkt[s[i] + 1]++;
+    for (int64_t i = 0; i < K; ++i) bkt[i + 1] += bkt[i];
+    bkt_start.assign(bkt.begin(), bkt.end());
+    order.resize(n1);
+    for (int64_t i = 0; i < n1; ++i) order[i] = lms[sa1[i]];
+  } else {
+    order.resize(n1);
+    for (int64_t i = 1; i < n; ++i)
+      if (is_lms(i)) order[name[i]] = i;
+  }
+  induce(order);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Builds SA over s[0..n), values in [0, K].  Returns 0 on success.
+int cgx_build_sa(const int32_t* s, int64_t n, int32_t K, int32_t* sa_out) {
+  if (n <= 0) return 0;
+  // append internal 0 sentinel (all real values are >= 1 after +1 shift)
+  std::vector<int32_t> s2(n + 1);
+  for (int64_t i = 0; i < n; ++i) s2[i] = s[i] + 1;
+  s2[n] = 0;
+  std::vector<int32_t> sa2(n + 1);
+  std::vector<int64_t> scratch;
+  sais_int(s2.data(), sa2.data(), n + 1, (int64_t)K + 2, scratch);
+  // drop the sentinel suffix (always first)
+  std::memcpy(sa_out, sa2.data() + 1, sizeof(int32_t) * n);
+  return 0;
+}
+
+// Kasai LCP: lcp[i] = LCP(SA[i-1], SA[i]); lcp[0] = 0.
+int cgx_build_lcp(const int32_t* s, const int32_t* sa, int64_t n, int32_t* lcp_out) {
+  std::vector<int32_t> rank(n);
+  for (int64_t i = 0; i < n; ++i) rank[sa[i]] = (int32_t)i;
+  std::memset(lcp_out, 0, sizeof(int32_t) * n);
+  int64_t h = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t r = rank[i];
+    if (r > 0) {
+      int64_t j = sa[r - 1];
+      int64_t m = n - std::max(i, j);
+      while (h < m && s[i + h] == s[j + h]) ++h;
+      lcp_out[r] = (int32_t)h;
+      h = 0;
+    }
+  }
+  return 0;
+}
+
+// Midpoint-interval LCP tree (SuffixArray.c:131-179), iterative.
+int cgx_build_interval_tree(const int32_t* lcp, int64_t n, int32_t* lcpleft,
+                            int32_t* lcpright) {
+  std::memset(lcpleft, 0, sizeof(int32_t) * n);
+  std::memset(lcpright, 0, sizeof(int32_t) * n);
+  if (n < 2) return 0;
+  struct Frame { int64_t L, R; int stage; int32_t a; };
+  std::vector<Frame> stack;
+  std::vector<int32_t> ret;  // return-value channel
+  stack.push_back({0, n - 1, 0, 0});
+  ret.reserve(64);
+  int32_t retval = 0;
+  while (!stack.empty()) {
+    Frame& f = stack.back();
+    if (f.L == f.R - 1) {
+      retval = lcp[f.R];
+      stack.pop_back();
+      continue;
+    }
+    int64_t M = (f.L + f.R) / 2;
+    if (f.stage == 0) {
+      f.stage = 1;
+      stack.push_back({f.L, M, 0, 0});
+    } else if (f.stage == 1) {
+      f.a = retval;           // result of (L, M)
+      f.stage = 2;
+      stack.push_back({M, f.R, 0, 0});
+    } else {
+      lcpleft[M] = f.a;
+      lcpright[M] = retval;   // result of (M, R)
+      retval = std::min(f.a, retval);
+      stack.pop_back();
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

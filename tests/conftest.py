@@ -1,0 +1,29 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh so sharding logic is
+testable without a TPU pod (SURVEY.md section 4 implication (c))."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+FIXTURE_DIR = pathlib.Path(__file__).parent / "fixtures" / "toy"
+
+
+@pytest.fixture(scope="session")
+def toy_fixture():
+    if not (FIXTURE_DIR / "corpus.f").exists():
+        subprocess.run(
+            [sys.executable, str(pathlib.Path(__file__).parent.parent / "tools" / "make_fixture.py")],
+            check=True,
+        )
+    return FIXTURE_DIR

@@ -1,0 +1,65 @@
+"""CLI with the same contract as the reference binary (Main.c:29-62):
+
+    python -m cgx_tpu.cli [-l minmatchlen] [-t fingerlen] [-s timefile] \
+        <source_corpus> <query_file> <target_corpus> <alignment_file> \
+        <lex_file> <out_dir>
+
+Writes one grammar file per query sentence: ``out_dir/grammar.<i>.{s,n}``
+(PrintResults.c:437-441).  ``--engine`` selects the TPU pipeline (default) or the
+sequential oracle; both produce byte-identical grammars.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+from cgx_tpu.config import DEFAULT_CONFIG
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cgx_tpu", description=__doc__)
+    p.add_argument("-l", dest="minmatchlen", type=int, default=1)
+    p.add_argument("-t", dest="fingerlen", type=int, default=10)
+    p.add_argument("-s", dest="timefile", default=None)
+    p.add_argument("--engine", choices=["tpu", "oracle"], default="tpu")
+    p.add_argument("--no-sample", action="store_true",
+                   help="disable occurrence sampling (grammar.<i>.n outputs)")
+    p.add_argument("reffile")
+    p.add_argument("qryfile")
+    p.add_argument("reftargetfile")
+    p.add_argument("alignfile")
+    p.add_argument("lexfile")
+    p.add_argument("dest_dir")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not (1 <= args.fingerlen <= 10):
+        print("finger length must be between 1 and 10", file=sys.stderr)
+        return 1
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, minmatchlen=args.minmatchlen, fingerlen=args.fingerlen,
+        is_sample=not args.no_sample)
+    t0 = time.perf_counter()
+    if args.engine == "oracle":
+        from cgx_tpu.oracle.pipeline import run_oracle_files
+        run_oracle_files(args.reffile, args.qryfile, args.reftargetfile,
+                         args.alignfile, args.lexfile, args.dest_dir, cfg)
+    else:
+        from cgx_tpu.pipeline import run_pipeline_files
+        run_pipeline_files(args.reffile, args.qryfile, args.reftargetfile,
+                           args.alignfile, args.lexfile, args.dest_dir, cfg)
+    wall = time.perf_counter() - t0
+    print(f"total: {wall:.3f}s", file=sys.stderr)
+    if args.timefile:
+        with open(args.timefile, "a", encoding="utf-8") as fh:
+            fh.write(f"total: {wall:.6f}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

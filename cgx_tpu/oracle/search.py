@@ -15,29 +15,8 @@ import numpy as np
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.preproc.corpus import QuerySet, SourceCorpus, Alignment
 from cgx_tpu.preproc.suffix_array import SAIndex
-
-SEP = 1  # sentence separator token
-
-
-@dataclasses.dataclass
-class Pass1Result:
-    """result_t_two per query token (ComTypes.h:98-106)."""
-
-    up: np.ndarray            # int32 [ntok] first SA index with >=1-token match
-    down: np.ndarray          # int32 [ntok] last SA index
-    firstfindhit: np.ndarray  # int32 [ntok]
-    firstfindhitL: np.ndarray
-    firstfindhitR: np.ndarray
-    longestmatch: np.ndarray  # int32 [ntok]
-
-
-@dataclasses.dataclass
-class Pass2Result:
-    """result_connect ranges for match lengths 2..longest (SuffixArray.cu:109-400)."""
-
-    connectoffset: np.ndarray  # int32 [ntok]; -1 when longestmatch <= 1
-    up: np.ndarray             # int32 [totalconnect]
-    down: np.ndarray           # int32 [totalconnect]
+from cgx_tpu.types import (SEP, GapOnSA, OneGapEnum, OneGapSearch, Pass1Result,
+                           Pass2Result, Precomp, TwoGapEnum, TwoGapSearch)
 
 
 def _pass1_one_token(refstr, refsa, lcpleft, lcpright, reflen,
@@ -378,31 +357,6 @@ def pass2(source: SourceCorpus, sa: SAIndex, queries: QuerySet,
 # Gap enumeration (SuffixArray.cu:928-1039 / 816-926) + distinct scans.
 # ---------------------------------------------------------------------------
 
-@dataclasses.dataclass
-class OneGapEnum:
-    # raw enumerated instances, canonical order then stably sorted by pattern
-    qrystart: np.ndarray       # int32
-    qrystart_len: np.ndarray   # int32
-    qryend_len: np.ndarray     # int32
-    gap: np.ndarray            # int32
-    pattern: np.ndarray        # int32 [n, max_rule_symbols], -1 = gap, -2 = pad
-    number: np.ndarray         # int32
-
-
-@dataclasses.dataclass
-class OneGapSearch:
-    """Distinct 1-gap patterns (gappy_search, ComTypes.h:168-177)."""
-
-    qrystart: np.ndarray
-    qrystart_len: np.ndarray
-    qryend_len: np.ndarray
-    gap: np.ndarray
-    position: np.ndarray        # first index in the sorted enum arrays
-    start_on_salist: np.ndarray
-    end_on_salist: np.ndarray
-    query_with_id: list         # per-query list of distinct-pattern ids
-
-
 def one_gap_enumeration(queries: QuerySet, p1: Pass1Result,
                         cfg: ExtractorConfig) -> OneGapEnum:
     qs, qsl, qel, gp, pats, nums = [], [], [], [], [], []
@@ -499,33 +453,6 @@ def sort_and_dedup_onegap(enum: OneGapEnum, queries: QuerySet) -> tuple:
 # ---------------------------------------------------------------------------
 # Frequent-pair precomputation (SuffixArray.cu:1132-1340, GappyLook.cu:740-869).
 # ---------------------------------------------------------------------------
-
-@dataclasses.dataclass
-class Precomp:
-    frequent_list: np.ndarray        # int32 [P] top tokens, ascending ids
-    tok_start: np.ndarray            # int32 [P] first SA index of each token's run
-    tok_len: np.ndarray              # int32 [P] run length
-    index_start: np.ndarray          # int32 [P*P] cell -> first row in onegap arrays
-    index_end: np.ndarray            # int32 [P*P] inclusive; start=1,end=0 when empty
-    onegap_start: np.ndarray         # int32 [n] corpus position of a
-    onegap_length: np.ndarray        # int32 [n] offset of b from a
-    feature_missing: np.ndarray      # int32 [P*P] gap-check-failed match count
-    count: int = 0
-
-    @property
-    def P(self) -> int:
-        return int(self.frequent_list.shape[0])
-
-    def cell_of(self, tok_a: int, tok_b: int) -> int:
-        """existPrecomputation (GappyLook.cu:5-40): -1 unless both tokens frequent."""
-        ia = int(np.searchsorted(self.frequent_list, tok_a))
-        if ia >= self.P or self.frequent_list[ia] != tok_a:
-            return -1
-        ib = int(np.searchsorted(self.frequent_list, tok_b))
-        if ib >= self.P or self.frequent_list[ib] != tok_b:
-            return -1
-        return ia * self.P + ib
-
 
 def check_boundary_gap(start, ender, L_tar, R_tar, RLP, max_rule_span):
     """checkBoundaryGap (GappyLook.cu:43-126): target-consistency of a source gap."""
@@ -675,14 +602,6 @@ def precompute(source: SourceCorpus, sa: SAIndex, align: Alignment,
 # ---------------------------------------------------------------------------
 # 1-gap SA lookup (oneGapLookUpSA, GappyLook.cu:128-473).
 # ---------------------------------------------------------------------------
-
-@dataclasses.dataclass
-class GapOnSA:
-    position: np.ndarray      # int32 pattern/block id
-    str_position: np.ndarray  # int32 corpus position (or precomp cell when length==0)
-    length: np.ndarray        # int32 offset of b's end (aXb); 0 = precomp reference
-    length2: np.ndarray       # int32 (two-gap only) offset of c's end
-
 
 def _range_for(tok, length, p1: Pass1Result, p2: Pass2Result):
     if length == 1:
@@ -848,26 +767,6 @@ def one_gap_lookup(source: SourceCorpus, sa: SAIndex, align: Alignment,
 # 2-gap enumeration (twoGapEnumeration, SuffixArray.cu:816-926) + distinct scan
 # (SuffixArray.cu:2056-2097) + lookup (twoGapLookUpSA, GappyLook.cu:476-737).
 # ---------------------------------------------------------------------------
-
-@dataclasses.dataclass
-class TwoGapEnum:
-    blockid: np.ndarray      # int32 distinct 1-gap pattern id
-    gap2: np.ndarray         # int32 absolute query token index of c
-    qryend_len: np.ndarray   # int32 length of c (always 1, see config)
-    pattern: np.ndarray      # int32 [n, 1] the c token(s)
-    number: np.ndarray       # int32
-
-
-@dataclasses.dataclass
-class TwoGapSearch:
-    blockid: np.ndarray          # int32 [D2] owning distinct 1-gap pattern
-    position: np.ndarray         # int32 [D2] first row in sorted enum arrays
-    qryend_len: np.ndarray       # int32 [D2]
-    gap2: np.ndarray             # int32 [D2] representative c position
-    start_on_salist: np.ndarray  # int32 [D2]
-    end_on_salist: np.ndarray    # int32 [D2]
-    query_with_id: list
-
 
 def two_gap_enumeration(queries: QuerySet, p1: Pass1Result,
                         enum_sorted: OneGapEnum, search: OneGapSearch,

@@ -1,0 +1,82 @@
+"""GrammarIndex: the device-resident corpus index.
+
+Holds the arrays every TPU stage reads (token string, suffix array, interval-LCP
+tree, RLP, target alignment spans, target string, lexical table) as jnp arrays,
+placed once and reused across stages — the reference re-uploads these before every
+kernel (e.g. SuffixArray.cu:1396-1412, ExtractPair.cu:3279-3282); we keep them
+resident in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgx_tpu.config import ExtractorConfig
+from cgx_tpu.preproc.corpus import (Alignment, LexTable, QuerySet, SourceCorpus,
+                                    TargetCorpus)
+from cgx_tpu.preproc.suffix_array import SAIndex
+from cgx_tpu.search import passes
+
+
+@dataclasses.dataclass
+class GrammarIndex:
+    reflen: int                  # static corpus token length
+    refstr_padded: jnp.ndarray   # int32 [reflen + qry_max + 16]
+    sa: jnp.ndarray              # int32 [reflen]
+    lcpleft: jnp.ndarray
+    lcpright: jnp.ndarray
+    rlp: jnp.ndarray             # uint32 [reflen] (+pad) as int64-safe uint32
+    l_tar: jnp.ndarray           # int32 [target toklen]
+    r_tar: jnp.ndarray
+    tgt_str: jnp.ndarray         # int32 [target toklen]
+    lex_key: jnp.ndarray         # int64 [n_lex] packed (src << 32) | (tgt & mask)
+    lex_val1: jnp.ndarray        # float32
+    lex_val2: jnp.ndarray
+    _qtok_cache: dict = dataclasses.field(default_factory=dict)
+
+    def device_query_tokens(self, queries: QuerySet) -> jnp.ndarray:
+        key = id(queries)
+        if key not in self._qtok_cache:
+            self._qtok_cache[key] = jnp.asarray(
+                passes.pad_query_tokens(queries.tokens))
+        return self._qtok_cache[key]
+
+
+def pack_lex_key(src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
+    """Order-preserving packing of (src, tgt) int32 pairs into sortable int64:
+    matches the (ch, eng) lexicographic comparator (lexFileCompare,
+    ExtractPair.cu:28-35), including the -1 NULL ids."""
+    return (src.astype(np.int64) << 32) | (tgt.astype(np.int64) & 0xFFFFFFFF)
+
+
+def build_index(source: SourceCorpus, target: TargetCorpus, sa: SAIndex,
+                align: Alignment, lex: LexTable,
+                cfg: ExtractorConfig) -> GrammarIndex:
+    # Invariant used to skip the reference's dead SA-boundary probe (see
+    # cgx_tpu.search.passes): the final token is the unique maximum.
+    assert int(source.str_[sa.sa[-1]]) == int(source.str_.max()), \
+        "corpus must end in the unique sentinel token"
+    refstr_padded = passes.pad_refstr(source.str_, cfg.qry_max_length)
+    # pad RLP with unaligned words so right-growth reads past the end are safe
+    rlp_padded = np.concatenate([
+        align.RLP.astype(np.uint32),
+        np.full(cfg.max_rule_span + 2, 0xFFFF0000, dtype=np.uint32)])
+    tgt_pad = np.full(cfg.max_rule_span + 2, 255, dtype=np.int32)
+    return GrammarIndex(
+        reflen=source.toklen,
+        refstr_padded=jnp.asarray(refstr_padded),
+        sa=jnp.asarray(sa.sa),
+        lcpleft=jnp.asarray(sa.lcpleft),
+        lcpright=jnp.asarray(sa.lcpright),
+        rlp=jnp.asarray(rlp_padded),
+        l_tar=jnp.asarray(np.concatenate([align.L_tar.astype(np.int32), tgt_pad])),
+        r_tar=jnp.asarray(np.concatenate([align.R_tar.astype(np.int32), tgt_pad])),
+        tgt_str=jnp.asarray(target.str_),
+        lex_key=jnp.asarray(pack_lex_key(lex.keys_src, lex.keys_tgt)),
+        lex_val1=jnp.asarray(lex.val1),
+        lex_val2=jnp.asarray(lex.val2),
+    )

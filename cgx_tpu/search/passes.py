@@ -1,0 +1,274 @@
+"""TPU pass-1/pass-2 suffix-array search.
+
+Vectorized transcription of suffixArrayFindLwRwKernelTwoWayTDI (pass 1,
+SuffixArray.cu:402-767) and suffixArrayFindConnectionTwoWayTDI (pass 2,
+SuffixArray.cu:109-400): one lane per query token (pass 1) or per
+(token, match-length) item (pass 2), the LCP-accelerated binary search as lockstep
+``lax.while_loop``s under ``vmap`` with masked state updates.  All-integer — results
+are bit-identical to the sequential oracle (tests enforce this).
+
+The reference's SA-end boundary probe (COMP1, SuffixArray.cu:484-514) is omitted on
+device: the corpus ends in a unique sentinel larger than every vocab id, so
+``SA[reflen-1]`` is the sentinel suffix and the probe never matches;
+``cgx_tpu.index.container`` asserts that invariant at build time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgx_tpu.types import SEP, Pass1Result, Pass2Result
+
+QPAD = 8  # guarded out-of-range query reads return -2 (never matches anything)
+
+
+def pad_query_tokens(tokens: np.ndarray) -> np.ndarray:
+    return np.concatenate([tokens.astype(np.int32),
+                           np.full(QPAD, -2, dtype=np.int32)])
+
+
+def pad_refstr(refstr: np.ndarray, qry_max: int) -> np.ndarray:
+    """Pad so ``refsa[M] + longlen`` reads stay in-bounds (longlen <= qry_max)."""
+    return np.concatenate([refstr.astype(np.int32),
+                           np.zeros(qry_max + 16, dtype=np.int32)])
+
+
+def _skip_at(lcpleft, lcpright, other, M, adjacent_direct):
+    """LCP(M, M') via the midpoint tree (SuffixArray.cu:536-541, 614-619):
+    ``other`` is L (left flavor) or R (right flavor); ``adjacent_direct`` is
+    lcpleft[M] (left) or lcpright[M] (right), used when |other - M| == 1."""
+    ht = (other + M) >> 1
+    tree = jnp.minimum(lcpleft[ht], lcpright[ht])
+    adjacent = jnp.abs(other - M) == 1
+    return jnp.where(adjacent, adjacent_direct, tree)
+
+
+def _bound_walk(lcpleft, lcpright, ffh, ffl, ffr, match, go_up):
+    """Final up/down bound walk (SuffixArray.cu:714-763): narrow from the
+    firstfindhit window to the outermost SA index whose skip >= match."""
+    go_up = jnp.bool_(go_up)
+    L0 = jnp.where(go_up, ffl, ffh)
+    R0 = jnp.where(go_up, ffh, ffr)
+    valid = ffh >= 0
+
+    def cond(s):
+        L, R, _ = s
+        return valid & (R - L > 1)
+
+    def body(s):
+        L, R, longest = s
+        M = (L + R) >> 1
+        skip_u = _skip_at(lcpleft, lcpright, R, M, lcpright[M])
+        skip_d = _skip_at(lcpleft, lcpright, L, M, lcpleft[M])
+        skip = jnp.where(go_up, skip_u, skip_d)
+        take = skip >= match
+        longest = jnp.where(take, M, longest)
+        L = jnp.where(take & ~go_up, M, jnp.where(~take & go_up, M, L))
+        R = jnp.where(take & go_up, M, jnp.where(~take & ~go_up, M, R))
+        return (L, R, longest)
+
+    _, _, longest = jax.lax.while_loop(cond, body, (L0, R0, ffh))
+    return longest
+
+
+def _search_body(refstr, refsa, lcpleft, lcpright, qtokens, tok, suffixlen,
+                 state, require_match, check_suffix_end):
+    """One iteration of the LCP binary search (shared by pass 1 and pass 2).
+
+    ``require_match``: pass 2's threshold — record firstfindhit + break only when
+    longlen >= require_match (pass 1 uses 0: record on first char, never break).
+    ``check_suffix_end``: pass 1 breaks when longlen >= suffixlen; pass 2 has no
+    such check (its reads legitimately run into the next query's tokens, matching
+    the reference's flat memory layout).
+    """
+    (L, R, Llcp, Rlcp, longlen, temp, ffh, ffl, ffr, M_pin, found) = state
+    M = jnp.where(M_pin >= 0, M_pin, (L + R) >> 1)
+    use_l = Llcp >= Rlcp
+    ll0 = jnp.where(use_l, Llcp, Rlcp)
+    skip = jnp.where(use_l,
+                     _skip_at(lcpleft, lcpright, L, M, lcpleft[M]),
+                     _skip_at(lcpleft, lcpright, R, M, lcpright[M]))
+    lt = ll0 < skip
+    gt = ll0 > skip
+    eq = ~lt & ~gt
+
+    # eq-case character comparison (SuffixArray.cu:550-611)
+    startREF0 = refsa[M] + ll0
+    a0 = qtokens[tok + ll0]
+    b0 = refstr[startREF0]
+    pre_break = jnp.where(check_suffix_end, (ll0 >= suffixlen) | (a0 == -1),
+                          a0 == -1)
+    enter = eq & ~pre_break & (a0 != -1) & (b0 != SEP)
+    temp0 = jnp.where(enter, a0 - b0, temp)
+
+    def icond(t):
+        ll, sref, a, b, tp, fh, fl, fr, ifound, act = t
+        return act & (a != -1) & (b != SEP) & (tp == 0) & (ifound == 0)
+
+    def ibody(t):
+        ll, sref, a, b, tp, fh, fl, fr, ifound, act = t
+        ll = ll + 1
+        sref = sref + 1
+        if isinstance(require_match, int) and require_match == 0:
+            rec = fh == -1
+            fh = jnp.where(rec, M, fh)
+            fl = jnp.where(rec, L, fl)
+            fr = jnp.where(rec, R, fr)
+            brk = check_suffix_end & (ll >= suffixlen)
+        else:
+            rec = (fh == -1) & (ll >= require_match)
+            fh = jnp.where(rec, M, fh)
+            fl = jnp.where(rec, L, fl)
+            fr = jnp.where(rec, R, fr)
+            brk = rec
+        a_n = jnp.where(brk, a, qtokens[tok + jnp.minimum(ll, suffixlen + QPAD - 1)])
+        b_n = jnp.where(brk, b, refstr[sref])
+        a_end = ~brk & (a_n == -1)
+        ifound = jnp.where(brk | a_end, jnp.int32(1), ifound)
+        upd = ~brk & ~a_end & (a_n != -1) & (b_n != SEP)
+        tp = jnp.where(upd, a_n - b_n, tp)
+        return (ll, sref, a_n, b_n, tp, fh, fl, fr, ifound, act)
+
+    istate = (ll0, startREF0, a0, b0, temp0, ffh, ffl, ffr, jnp.int32(0), enter)
+    ll1, _, a1, b1, temp1, ffh1, ffl1, ffr1, ifound, _ = jax.lax.while_loop(
+        icond, ibody, istate)
+
+    found_eq = eq & (pre_break | (ifound == 1))
+    # post-compare branch (SuffixArray.cu:598-610) for eq lanes that didn't break
+    post = eq & ~found_eq
+    a_neg = post & (a1 == -1)
+    b_sep = post & ~a_neg & (b1 == SEP)
+    t_pos = post & ~a_neg & ~b_sep & (temp1 > 0)
+    t_neg = post & ~a_neg & ~b_sep & ~t_pos
+
+    go_left = (lt & use_l) | (gt & ~use_l) | b_sep | t_pos | a_neg  # L = M
+    go_right = (lt & ~use_l) | (gt & use_l) | t_neg | a_neg         # R = M
+    L_n = jnp.where(go_left, M, L)
+    R_n = jnp.where(go_right, M, R)
+    Llcp_n = jnp.where(gt & ~use_l, skip, jnp.where(b_sep | t_pos, ll1, Llcp))
+    Rlcp_n = jnp.where(gt & use_l, skip, jnp.where(t_neg, ll1, Rlcp))
+    ll_n = jnp.where(eq, ll1, ll0)
+    found_n = jnp.where(found_eq, jnp.int32(1), found)
+    return (L_n, R_n, Llcp_n, Rlcp_n, ll_n, temp1, ffh1, ffl1, ffr1,
+            jnp.int32(-1), found_n)
+
+
+def _pass1_token(refstr, refsa, lcpleft, lcpright, qtokens, reflen,
+                 tok, suffixlen):
+    a_first = qtokens[tok]
+    oov = a_first == -1
+    init = (jnp.int32(0), jnp.int32(reflen - 1), jnp.int32(0), jnp.int32(0),
+            jnp.int32(0), jnp.int32(-1), jnp.int32(-1), jnp.int32(-1),
+            jnp.int32(-1), jnp.int32(-1), jnp.where(oov, jnp.int32(1),
+                                                    jnp.int32(0)))
+
+    def cond(s):
+        return (s[1] - s[0] > 1) & (s[10] == 0)
+
+    def body(s):
+        return _search_body(refstr, refsa, lcpleft, lcpright, qtokens, tok,
+                            suffixlen, s, 0, True)
+
+    final = jax.lax.while_loop(cond, body, init)
+    longlen = final[4]
+    ffh, ffl, ffr = final[6], final[7], final[8]
+    hit = (~oov) & (ffh != -1) & (longlen > 0)
+    ffh_s = jnp.where(hit, ffh, jnp.int32(-1))
+    up = _bound_walk(lcpleft, lcpright, ffh_s, ffl, ffr, jnp.int32(1), True)
+    down = _bound_walk(lcpleft, lcpright, ffh_s, ffl, ffr, jnp.int32(1), False)
+    lm = jnp.where(oov | (longlen <= 0), jnp.int32(0), longlen)
+    return (lm, jnp.where(hit, up, -1), jnp.where(hit, down, -1),
+            jnp.where(hit, ffh, -1), jnp.where(hit, ffl, -1),
+            jnp.where(hit, ffr, -1))
+
+
+def _pass2_item(refstr, refsa, lcpleft, lcpright, qtokens,
+                tok, match, LL, MM, RR):
+    init = (LL, RR, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(-1),
+            jnp.int32(-1), jnp.int32(-1), jnp.int32(-1), MM, jnp.int32(0))
+
+    def cond(s):
+        return (s[1] - s[0] > 1) & (s[10] == 0)
+
+    def body(s):
+        # first midpoint is pinned to MM while (L, R) == (LL, RR)
+        # (SuffixArray.cu:177-181); afterwards standard bisection.
+        L, R = s[0], s[1]
+        pin = jnp.where((L == LL) & (R == RR), MM, jnp.int32(-1))
+        s = s[:9] + (pin, s[10])
+        return _search_body(refstr, refsa, lcpleft, lcpright, qtokens, tok,
+                            jnp.int32(2 ** 30), s, match, False)
+
+    final = jax.lax.while_loop(cond, body, init)
+    ffh, ffl, ffr = final[6], final[7], final[8]
+    up = _bound_walk(lcpleft, lcpright, ffh, ffl, ffr, match, True)
+    down = _bound_walk(lcpleft, lcpright, ffh, ffl, ffr, match, False)
+    ok = ffh != -1
+    return jnp.where(ok, up, -1), jnp.where(ok, down, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("reflen",))
+def _pass1_batch(refstr, refsa, lcpleft, lcpright, qtokens, toks, suffixlens,
+                 reflen):
+    f = functools.partial(_pass1_token, refstr, refsa, lcpleft, lcpright,
+                          qtokens, reflen)
+    return jax.vmap(f)(toks, suffixlens)
+
+
+@jax.jit
+def _pass2_batch(refstr, refsa, lcpleft, lcpright, qtokens, toks, matches,
+                 LLs, MMs, RRs):
+    f = functools.partial(_pass2_item, refstr, refsa, lcpleft, lcpright, qtokens)
+    return jax.vmap(f)(toks, matches, LLs, MMs, RRs)
+
+
+def pass1_tpu(index, queries) -> Pass1Result:
+    """index: cgx_tpu.index.container.GrammarIndex; queries: QuerySet."""
+    n = queries.totaltokens
+    ends = np.array([queries.query_end(int(q)) for q in queries.tok_to_qry],
+                    dtype=np.int32)
+    toks = np.arange(n, dtype=np.int32)
+    suffixlens = ends - toks
+    lm, up, down, ffh, ffl, ffr = _pass1_batch(
+        index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
+        index.device_query_tokens(queries), jnp.asarray(toks),
+        jnp.asarray(suffixlens), index.reflen)
+    return Pass1Result(
+        up=np.asarray(up), down=np.asarray(down),
+        firstfindhit=np.asarray(ffh), firstfindhitL=np.asarray(ffl),
+        firstfindhitR=np.asarray(ffr), longestmatch=np.asarray(lm))
+
+
+def pass2_tpu(index, queries, p1: Pass1Result) -> Pass2Result:
+    n = queries.totaltokens
+    connectoffset = np.full(n, -1, dtype=np.int32)
+    toks, matches, LLs, MMs, RRs = [], [], [], [], []
+    total = 0
+    for t in range(n):
+        lm = int(p1.longestmatch[t])
+        if lm - 1 > 0:
+            connectoffset[t] = total
+            total += lm - 1
+            for match in range(2, lm + 1):
+                toks.append(t)
+                matches.append(match)
+                LLs.append(int(p1.firstfindhitL[t]))
+                MMs.append(int(p1.firstfindhit[t]))
+                RRs.append(int(p1.firstfindhitR[t]))
+    if total == 0:
+        return Pass2Result(connectoffset=connectoffset,
+                           up=np.empty(0, np.int32), down=np.empty(0, np.int32))
+    up, down = _pass2_batch(
+        index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
+        index.device_query_tokens(queries),
+        jnp.asarray(np.asarray(toks, np.int32)),
+        jnp.asarray(np.asarray(matches, np.int32)),
+        jnp.asarray(np.asarray(LLs, np.int32)),
+        jnp.asarray(np.asarray(MMs, np.int32)),
+        jnp.asarray(np.asarray(RRs, np.int32)))
+    return Pass2Result(connectoffset=connectoffset,
+                       up=np.asarray(up), down=np.asarray(down))

@@ -1,0 +1,411 @@
+"""TPU gappy-pattern SA lookups.
+
+Vectorized transcription of oneGapLookUpSA (GappyLook.cu:128-473), twoGapLookUpSA
+(GappyLook.cu:476-737) and the frequent-pair precompute kernel (GappyLook.cu:740-869).
+
+Instead of the reference's divergent per-thread ``while(flager)`` scans, each work
+item (pattern-occurrence) evaluates **all** gap sizes as a static ``MMOV``-wide move
+axis: per-move kill conditions are combined with a prefix-AND (``cumprod``) to
+reproduce the sequential early-exit semantics exactly, and emissions come back as
+dense (valid, fields...) slots.  Canonical ordering (DESIGN.md) is restored on the
+host by a stable lexsort on (position, str_position, length[, length2]) — provably
+equal to sequential emission order because ties share a work item and are emitted in
+ascending move order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgx_tpu.config import ExtractorConfig
+from cgx_tpu.types import GapOnSA, OneGapSearch, Precomp, TwoGapSearch
+
+MMOV = 16  # static move-axis width; real moves bounded by max_rule_span - 2
+
+
+# ---------------------------------------------------------------------------
+# device gap-consistency check (checkBoundaryGap, GappyLook.cu:43-126)
+# ---------------------------------------------------------------------------
+
+def _gap_check(rlp, l_tar, r_tar, start, ender, mrs: int):
+    """Vectorized checkBoundaryGap for one (start, ender) source span.
+    Requires ender - start < mrs and padded rlp/l_tar/r_tar arrays."""
+    ks = start + jnp.arange(mrs, dtype=jnp.int32)
+    mask = ks <= ender
+    temp = rlp[jnp.minimum(ks, rlp.shape[0] - 1)].astype(jnp.uint32)
+    L = ((temp >> 24) & 0xFF).astype(jnp.int32)
+    R = ((temp >> 16) & 0xFF).astype(jnp.int32)
+    unal = (L == 255) | (R == 255)
+    span = ender - start
+    fail0 = unal[0] | (span < 0)
+    # unaligned at ender: gather via dynamic index
+    end_off = jnp.clip(span, 0, mrs - 1)
+    fail0 = fail0 | jnp.take(unal, end_off)
+    aligned = mask & ~unal
+    min_L = jnp.min(jnp.where(aligned, L, 256))
+    max_R = jnp.max(jnp.where(aligned, R, -1))
+    p_start = ((rlp[start].astype(jnp.uint32) >> 8) & 0xFF).astype(jnp.int32)
+    tempind = start - p_start - 1
+    stb = jnp.where(tempind == -1, jnp.int32(0),
+                    rlp[jnp.maximum(tempind, 0)].astype(jnp.int32))
+    ok1 = ~fail0 & (min_L <= max_R) & (max_R - min_L < mrs)
+    ts = min_L + stb
+    te = max_R + stb
+    ks2 = ts + jnp.arange(mrs, dtype=jnp.int32)
+    mask2 = ks2 <= te
+    ks2c = jnp.clip(ks2, 0, l_tar.shape[0] - 1)
+    L2 = l_tar[ks2c]
+    R2 = r_tar[ks2c]
+    al2 = mask2 & (L2 != 255) & (R2 != 255)
+    bmin = jnp.min(jnp.where(al2, L2, 256))
+    bmax = jnp.max(jnp.where(al2, R2, -1))
+    return ok1 & (tempind + 1 + bmin == start) & (tempind + 1 + bmax == ender)
+
+
+def _prefix_ok(survive):
+    """reach[m] = AND of survive[0..m-1] (sequential early-exit emulation)."""
+    c = jnp.cumprod(survive.astype(jnp.int32))
+    return jnp.concatenate([jnp.ones((1,), jnp.int32), c[:-1]]) == 1
+
+
+# ---------------------------------------------------------------------------
+# forward / backward aXb occurrence scans (GappyLook.cu:335-470)
+# ---------------------------------------------------------------------------
+
+def _fwd_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
+              gostart, sl, el, stok):
+    """Forward scan from an occurrence of a: emissions over the move axis.
+    Returns (valid[MMOV], length[MMOV]); str_position is gostart."""
+    moves = jnp.arange(MMOV, dtype=jnp.int32)
+    b_first = qtokens[stok]
+    gap0_bad = refstr[gostart + sl] < 2
+    pos = gostart + sl + mgs + moves
+    temp = refstr[jnp.minimum(pos, refstr.shape[0] - 1)]
+    bad = temp < 2
+    # span gate for entering iteration m: sl + mgs + m + el <= mrs
+    span_ok = sl + mgs + moves + el <= mrs
+    # tail verify (b tokens beyond the first; el <= 3 so k in {1, 2})
+    verify_ok = jnp.ones(MMOV, dtype=bool)
+    verify_kill = jnp.zeros(MMOV, dtype=bool)
+    is_b = temp == b_first
+    for k in (1, 2):
+        need = el > k
+        in_span = sl + mgs + moves + 1 + k <= mrs
+        bo = refstr[jnp.minimum(pos + k, refstr.shape[0] - 1)]
+        want = qtokens[stok + k]
+        match_k = bo == want
+        # previous tail tokens all matched => this k is actually compared
+        prev_ok = verify_ok
+        cmp_here = is_b & need & prev_ok & in_span
+        verify_ok = verify_ok & jnp.where(need, in_span & match_k, True)
+        verify_kill = verify_kill | (cmp_here & ~match_k & (bo < 2))
+    survive = ~bad & ~verify_kill
+    reach = _prefix_ok(survive) & span_ok & ~gap0_bad
+    cand = reach & ~bad & is_b & verify_ok
+    gc = jax.vmap(lambda m: _gap_check(rlp, l_tar, r_tar, gostart + sl,
+                                       gostart + sl + mgs + m - 1, mrs))(moves)
+    valid = cand & gc
+    length = sl + mgs + moves + el - 1
+    return valid, length
+
+
+def _bwd_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
+              gostart, sl, el, tok):
+    """Backward scan from an occurrence of b (GappyLook.cu:397-470).
+    Returns (valid[MMOV], str_position[MMOV], length[MMOV])."""
+    moves = jnp.arange(MMOV, dtype=jnp.int32)
+    a_last = qtokens[tok + sl - 1]
+    gap0_bad = refstr[jnp.maximum(gostart - 1, 0)] < 2
+    pos = gostart - 1 - mgs - moves
+    temp = jnp.where(pos < 0, jnp.int32(-1),
+                     refstr[jnp.maximum(pos, 0)])
+    bad = temp < 2
+    span_ok = sl + mgs + moves + el <= mrs
+    verify_ok = jnp.ones(MMOV, dtype=bool)
+    verify_kill = jnp.zeros(MMOV, dtype=bool)
+    is_a = temp == a_last
+    for k in (1, 2):
+        need = sl > k
+        in_span = el + mgs + moves + 1 + k <= mrs
+        pk = pos - k
+        bo = jnp.where(pk < 0, jnp.int32(-1), refstr[jnp.maximum(pk, 0)])
+        want = qtokens[tok + jnp.maximum(sl - 1 - k, 0)]
+        match_k = bo == want
+        prev_ok = verify_ok
+        cmp_here = is_a & need & prev_ok & in_span
+        verify_ok = verify_ok & jnp.where(need, in_span & match_k, True)
+        verify_kill = verify_kill | (cmp_here & ~match_k & (bo < 2))
+    survive = ~bad & ~verify_kill
+    reach = _prefix_ok(survive) & span_ok & ~gap0_bad
+    cand = reach & ~bad & is_a & verify_ok
+    gc = jax.vmap(lambda m: _gap_check(rlp, l_tar, r_tar,
+                                       gostart - 1 - mgs - m + 1,
+                                       gostart - 1, mrs))(moves)
+    valid = cand & gc
+    str_position = gostart - 1 - mgs - moves - sl + 1
+    length = el + mgs + moves + sl - 1
+    return valid, str_position, length
+
+
+def _pcs_item(refstr, qtokens, mrs, pstart, plen, sl, el, tok, stok):
+    """Precomp-seeded verification of an extended aXb (GappyLook.cu:289-334):
+    check span budget, the extra a prefix backwards, the extra b suffix forwards.
+    Returns (valid, str_position, length) scalars."""
+    ok = plen + 1 + sl - 1 + el - 1 <= mrs
+    # prefix: backoff = 1..sl-1 (sl <= 3 so unroll 1, 2)
+    for k in (1, 2):
+        need = sl > k
+        p = pstart - k
+        good = (p >= 0) & (refstr[jnp.maximum(p, 0)]
+                           == qtokens[tok + jnp.maximum(sl - 1 - k, 0)])
+        ok = ok & jnp.where(need, good, True)
+    # suffix: forward = 2..el
+    for k in (2, 3):
+        need = el >= k
+        good = refstr[pstart + plen + k - 1] == qtokens[stok + k - 1]
+        ok = ok & jnp.where(need, good, True)
+    return ok, pstart - sl + 1, plen + sl - 1 + el - 1
+
+
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
+def _fwd_batch(refstr, rlp, l_tar, r_tar, qtokens, gostart, sl, el, stok,
+               mrs, mgs):
+    f = functools.partial(_fwd_item, refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs)
+    return jax.vmap(f)(gostart, sl, el, stok)
+
+
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
+def _bwd_batch(refstr, rlp, l_tar, r_tar, qtokens, gostart, sl, el, tok,
+               mrs, mgs):
+    f = functools.partial(_bwd_item, refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs)
+    return jax.vmap(f)(gostart, sl, el, tok)
+
+
+@functools.partial(jax.jit, static_argnames=("mrs",))
+def _pcs_batch(refstr, qtokens, pstart, plen, sl, el, tok, stok, mrs):
+    f = functools.partial(_pcs_item, refstr, qtokens, mrs)
+    return jax.vmap(f)(pstart, plen, sl, el, tok, stok)
+
+
+def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
+                       search: OneGapSearch, pc: Precomp,
+                       cfg: ExtractorConfig) -> GapOnSA:
+    """Host orchestration + device scans; fills search.start/end_on_salist."""
+    D = len(search.qrystart)
+    mrs, mgs = cfg.max_rule_span, cfg.min_gap_size
+    qtok = np.asarray(queries.tokens)
+    sl_all = search.qrystart_len.astype(np.int64)
+    el_all = search.qryend_len.astype(np.int64)
+    tok_all = search.qrystart.astype(np.int64)
+    stok_all = tok_all + search.gap.astype(np.int64) + sl_all
+
+    # precomp cell per pattern (existPrecomputation)
+    a_last = qtok[tok_all + sl_all - 1]
+    b_first = qtok[stok_all]
+    ia = np.searchsorted(pc.frequent_list, a_last)
+    ib = np.searchsorted(pc.frequent_list, b_first)
+    P = pc.P
+    ok_a = (ia < P) & (pc.frequent_list[np.minimum(ia, P - 1)] == a_last)
+    ok_b = (ib < P) & (pc.frequent_list[np.minimum(ib, P - 1)] == b_first)
+    pci = np.where(ok_a & ok_b, ia * P + ib, -1)
+
+    # ranges for non-precomp patterns
+    p2_up = p2.up if len(p2.up) else np.zeros(1, np.int32)
+    p2_down = p2.down if len(p2.down) else np.zeros(1, np.int32)
+
+    def rng(tk, ln):
+        u = np.where(ln == 1, p1.up[tk], 0)
+        d = np.where(ln == 1, p1.down[tk], 0)
+        cc = np.where(ln > 1, p2.connectoffset[tk] + ln - 2, 0)
+        u = np.where(ln == 1, u, p2_up[cc])
+        d = np.where(ln == 1, d, p2_down[cc])
+        return u.astype(np.int64), d.astype(np.int64)
+
+    r1u, r1d = rng(tok_all, sl_all)
+    r2u, r2d = rng(stok_all, el_all)
+    dis1 = r1d - r1u
+    dis2 = r2d - r2u
+    use_fwd = dis1 <= dis2
+    has_pc = pci != -1
+    pc_dis = np.where(has_pc,
+                      pc.index_end[np.maximum(pci, 0)]
+                      - pc.index_start[np.maximum(pci, 0)], -1)
+    pc_ref = has_pc & (sl_all == 1) & (el_all == 1) & (pc_dis >= 0)
+    pc_seed = has_pc & ~pc_ref
+
+    rows_parts = []
+
+    # 1) precomp references: one row per pattern
+    ref_ids = np.flatnonzero(pc_ref)
+    if len(ref_ids):
+        rows_parts.append(np.stack([
+            ref_ids, pci[ref_ids], np.zeros(len(ref_ids), dtype=np.int64)], axis=1))
+
+    # 2) precomp-seeded verification items
+    seed_ids = np.flatnonzero(pc_seed)
+    if len(seed_ids):
+        counts = (pc_dis[seed_ids] + 1).clip(min=0)
+        item_pat = np.repeat(seed_ids, counts)
+        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        tx = np.arange(len(item_pat)) - np.repeat(offs, counts)
+        row = pc.index_start[pci[item_pat]] + tx
+        ok, spos, length = _pcs_batch(
+            index.refstr_padded, index.device_query_tokens(queries),
+            jnp.asarray(pc.onegap_start[row]), jnp.asarray(pc.onegap_length[row]),
+            jnp.asarray(sl_all[item_pat].astype(np.int32)),
+            jnp.asarray(el_all[item_pat].astype(np.int32)),
+            jnp.asarray(tok_all[item_pat].astype(np.int32)),
+            jnp.asarray(stok_all[item_pat].astype(np.int32)), mrs)
+        ok = np.asarray(ok)
+        if ok.any():
+            rows_parts.append(np.stack([
+                item_pat[ok], np.asarray(spos)[ok].astype(np.int64),
+                np.asarray(length)[ok].astype(np.int64)], axis=1))
+
+    # 3) forward / backward scans
+    for fwd in (True, False):
+        ids = np.flatnonzero(~has_pc & (use_fwd == fwd))
+        if not len(ids):
+            continue
+        lo = np.where(fwd, r1u, r2u)[ids]
+        counts = (np.where(fwd, dis1, dis2)[ids] + 1).clip(min=0)
+        item_pat = np.repeat(ids, counts)
+        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        tx = np.arange(len(item_pat)) - np.repeat(offs, counts)
+        gostart = sa_host[np.repeat(lo, counts) + tx].astype(np.int32)
+        if fwd:
+            valid, length = _fwd_batch(
+                index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+                index.device_query_tokens(queries), jnp.asarray(gostart),
+                jnp.asarray(sl_all[item_pat].astype(np.int32)),
+                jnp.asarray(el_all[item_pat].astype(np.int32)),
+                jnp.asarray(stok_all[item_pat].astype(np.int32)), mrs, mgs)
+            valid = np.asarray(valid)
+            length = np.asarray(length)
+            ii, mm = np.nonzero(valid)
+            if len(ii):
+                rows_parts.append(np.stack([
+                    item_pat[ii], gostart[ii].astype(np.int64),
+                    length[ii, mm].astype(np.int64)], axis=1))
+        else:
+            valid, spos, length = _bwd_batch(
+                index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+                index.device_query_tokens(queries), jnp.asarray(gostart),
+                jnp.asarray(sl_all[item_pat].astype(np.int32)),
+                jnp.asarray(el_all[item_pat].astype(np.int32)),
+                jnp.asarray(tok_all[item_pat].astype(np.int32)), mrs, mgs)
+            valid = np.asarray(valid)
+            ii, mm = np.nonzero(valid)
+            if len(ii):
+                rows_parts.append(np.stack([
+                    item_pat[ii], np.asarray(spos)[ii, mm].astype(np.int64),
+                    np.asarray(length)[ii, mm].astype(np.int64)], axis=1))
+
+    if rows_parts:
+        rows = np.concatenate(rows_parts, axis=0)
+        order = np.lexsort((rows[:, 2], rows[:, 1], rows[:, 0]))
+        rows = rows[order]
+    else:
+        rows = np.empty((0, 3), dtype=np.int64)
+
+    out = GapOnSA(position=rows[:, 0].astype(np.int32),
+                  str_position=rows[:, 1].astype(np.int32),
+                  length=rows[:, 2].astype(np.int32),
+                  length2=np.zeros(len(rows), dtype=np.int32))
+    _fill_salist(search.start_on_salist, search.end_on_salist, out.position)
+    return out
+
+
+def _fill_salist(start_arr, end_arr, positions):
+    if len(positions):
+        uniq, first, counts = np.unique(positions, return_index=True,
+                                        return_counts=True)
+        start_arr[uniq] = first.astype(np.int32)
+        end_arr[uniq] = (first + counts - 1).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# twoGapLookUpSA: extend each aXb core to the right looking for c
+# ---------------------------------------------------------------------------
+
+def _two_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
+              pstart, plen, stok):
+    moves = jnp.arange(MMOV, dtype=jnp.int32)
+    pre_cache = qtokens[stok]
+    gostart = pstart + plen
+    gap0_bad = refstr[gostart + mgs] < 2
+    pos = gostart + 1 + mgs + moves
+    temp = refstr[jnp.minimum(pos, refstr.shape[0] - 1)]
+    span_kill = plen + 1 + mgs + moves + 1 > mrs
+    bad = temp < 2
+    survive = ~bad & ~span_kill
+    reach = _prefix_ok(survive) & ~gap0_bad
+    cand = reach & ~span_kill & ~bad & (temp == pre_cache)
+    gc = jax.vmap(lambda m: _gap_check(rlp, l_tar, r_tar, pstart + plen + 1,
+                                       pstart + plen + mgs + m, mrs))(moves)
+    valid = cand & gc
+    length2 = plen + 1 + mgs + moves  # + el - 1 with el == 1
+    return valid, length2
+
+
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
+def _two_batch(refstr, rlp, l_tar, r_tar, qtokens, pstart, plen, stok, mrs, mgs):
+    f = functools.partial(_two_item, refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs)
+    return jax.vmap(f)(pstart, plen, stok)
+
+
+def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
+                       onegap_sa: GapOnSA, search2: TwoGapSearch,
+                       pc: Precomp, cfg: ExtractorConfig) -> GapOnSA:
+    D2 = len(search2.blockid)
+    mrs, mgs = cfg.max_rule_span, cfg.min_gap_size
+    item_two, item_pstart, item_plen, item_stok = [], [], [], []
+    for twoId in range(D2):
+        oneId = int(search2.blockid[twoId])
+        lo = int(search1.start_on_salist[oneId])
+        hi = int(search1.end_on_salist[oneId])
+        if lo == -1 and hi == -1:
+            continue
+        stok = int(search2.gap2[twoId])
+        if hi - lo + 1 == 1 and int(onegap_sa.length[lo]) == 0:
+            pci = int(onegap_sa.str_position[lo])
+            for r in range(int(pc.index_start[pci]), int(pc.index_end[pci]) + 1):
+                item_two.append(twoId)
+                item_pstart.append(int(pc.onegap_start[r]))
+                item_plen.append(int(pc.onegap_length[r]))
+                item_stok.append(stok)
+        else:
+            for r in range(lo, hi + 1):
+                item_two.append(twoId)
+                item_pstart.append(int(onegap_sa.str_position[r]))
+                item_plen.append(int(onegap_sa.length[r]))
+                item_stok.append(stok)
+    if not item_two:
+        out = GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
+        return out
+    valid, length2 = _two_batch(
+        index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+        index.device_query_tokens(queries),
+        jnp.asarray(np.asarray(item_pstart, np.int32)),
+        jnp.asarray(np.asarray(item_plen, np.int32)),
+        jnp.asarray(np.asarray(item_stok, np.int32)), mrs, mgs)
+    valid = np.asarray(valid)
+    length2 = np.asarray(length2)
+    ii, mm = np.nonzero(valid)
+    item_two = np.asarray(item_two, dtype=np.int64)
+    item_pstart = np.asarray(item_pstart, dtype=np.int64)
+    item_plen = np.asarray(item_plen, dtype=np.int64)
+    rows = np.stack([item_two[ii], item_pstart[ii], item_plen[ii],
+                     length2[ii, mm].astype(np.int64)], axis=1)
+    order = np.lexsort((rows[:, 3], rows[:, 2], rows[:, 1], rows[:, 0]))
+    rows = rows[order]
+    out = GapOnSA(position=rows[:, 0].astype(np.int32),
+                  str_position=rows[:, 1].astype(np.int32),
+                  length=rows[:, 2].astype(np.int32),
+                  length2=rows[:, 3].astype(np.int32))
+    _fill_salist(search2.start_on_salist, search2.end_on_salist, out.position)
+    return out

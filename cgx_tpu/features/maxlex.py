@@ -1,0 +1,123 @@
+"""TPU MaxLex feature scoring.
+
+Split of lexicalTaskMaxEF (ExtractPair.cu:2144-2432): the heavy part — per-rule
+max-probability selection over (source word x target word) pairs via binary search of
+the sorted lexical table (searchLexFile, ExtractPair.cu:2108-2142) — runs on device
+as batched ``searchsorted`` over packed (src, tgt) int64 keys; the cheap
+``-log10``-accumulation runs on the host in float32 with the exact sequential
+rounding order of the reference (term-by-term ``+=`` in f32), so features are
+bit-identical to the oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cgx_tpu.config import ExtractorConfig
+
+TPOSW = 16   # target span width (end offset < max_rule_span)
+SRCW = 5     # max source words (MAX_rule_symbols)
+
+
+def _lookup(lex_key, lex_val, s, t):
+    key = (s.astype(jnp.int64) << 32) | (t.astype(jnp.int64) & 0xFFFFFFFF)
+    i = jnp.searchsorted(lex_key, key)
+    ic = jnp.clip(i, 0, lex_key.shape[0] - 1)
+    found = (i < lex_key.shape[0]) & (lex_key[ic] == key)
+    return jnp.where(found, lex_val[ic], jnp.float32(0))
+
+
+def _task_best(lex_key, lex_val1, lex_val2, tgt_str,
+               src_pat, t0, tend, g1, g11, g2, g21):
+    pos = t0 + jnp.arange(TPOSW, dtype=jnp.int32)
+    inside = pos <= t0 + tend
+    out1 = (g1 < 0) | (pos < t0 + g1) | (pos > t0 + g11)
+    out2 = (g2 < 0) | (pos < t0 + g2) | (pos > t0 + g21)
+    tmask = inside & out1 & out2
+    ttok = tgt_str[jnp.clip(pos, 0, tgt_str.shape[0] - 1)]
+    any_t = jnp.any(tmask)
+
+    s2 = jnp.broadcast_to(src_pat[:, None], (SRCW, TPOSW))
+    t2 = jnp.broadcast_to(ttok[None, :], (SRCW, TPOSW))
+    v2 = _lookup(lex_key, lex_val2, s2, t2)          # P(t|s)-side for FgivenE
+    v1 = _lookup(lex_key, lex_val1, s2, t2)          # P(s|t)-side for EgivenF
+    v2null = _lookup(lex_key, lex_val2, src_pat,
+                     jnp.full((SRCW,), -1, jnp.int32))
+    v1null = _lookup(lex_key, lex_val1, jnp.full((TPOSW,), -1, jnp.int32), ttok)
+
+    fge_best = jnp.max(jnp.where(tmask[None, :], v2, 0.0), axis=1)
+    fge_best = jnp.where(any_t, jnp.maximum(fge_best, v2null), fge_best)
+    src_valid = src_pat >= -1  # padded entries are -99
+    egf_best = jnp.max(jnp.where(src_valid[:, None], v1, 0.0), axis=0)
+    egf_best = jnp.maximum(egf_best, v1null)
+    return fge_best, egf_best, tmask
+
+
+@jax.jit
+def _maxlex_batch(lex_key, lex_val1, lex_val2, tgt_str, src_pat, t0, tend,
+                  g1, g11, g2, g21):
+    f = functools.partial(_task_best, lex_key, lex_val1, lex_val2, tgt_str)
+    return jax.vmap(f)(src_pat, t0, tend, g1, g11, g2, g21)
+
+
+def compute_maxlex_tpu(tasks, index, rules_one, rules_two, rules_contig,
+                       cfg: ExtractorConfig):
+    """Scores LexTasks on device, accumulates on host, scatters into the rules."""
+    T = len(tasks)
+    if T == 0:
+        return
+    src_pat = np.full((T, SRCW), -99, dtype=np.int32)
+    nsrc = np.zeros(T, dtype=np.int32)
+    t0 = np.zeros(T, dtype=np.int32)
+    tend = np.zeros(T, dtype=np.int32)
+    g1 = np.full(T, -1, dtype=np.int32)
+    g11 = np.full(T, -1, dtype=np.int32)
+    g2 = np.full(T, -1, dtype=np.int32)
+    g21 = np.full(T, -1, dtype=np.int32)
+    for i, task in enumerate(tasks):
+        n = len(task.source_pattern)
+        src_pat[i, :n] = task.source_pattern
+        nsrc[i] = n
+        t0[i] = task.target_start
+        tend[i] = task.end
+        if task.kind in ("onegap", "twogap"):
+            g1[i], g11[i] = task.gap1, task.gap1_1
+        if task.kind == "twogap":
+            g2[i], g21[i] = task.gap2, task.gap2_1
+
+    fge_best, egf_best, tmask = _maxlex_batch(
+        index.lex_key, index.lex_val1, index.lex_val2, index.tgt_str,
+        jnp.asarray(src_pat), jnp.asarray(t0), jnp.asarray(tend),
+        jnp.asarray(g1), jnp.asarray(g11), jnp.asarray(g2), jnp.asarray(g21))
+    fge_best = np.asarray(fge_best)
+    egf_best = np.asarray(egf_best)
+    tmask = np.asarray(tmask)
+
+    maxscore = np.float32(cfg.max_score)
+    fge = np.zeros(T, dtype=np.float32)
+    with np.errstate(divide="ignore"):
+        for j in range(SRCW):
+            m = j < nsrc
+            best = fge_best[:, j]
+            term = np.where(best > 0,
+                            (-np.log10(np.where(best > 0, best, 1.0))
+                             ).astype(np.float32), maxscore)
+            fge = np.where(m, (fge + term).astype(np.float32), fge)
+        egf = np.zeros(T, dtype=np.float32)
+        for p in range(TPOSW):
+            m = tmask[:, p]
+            best = egf_best[:, p]
+            term = np.where(best > 0,
+                            (-np.log10(np.where(best > 0, best, 1.0))
+                             ).astype(np.float32), maxscore)
+            egf = np.where(m, (egf + term).astype(np.float32), egf)
+
+    by_kind = {"onegap": rules_one, "twogap": rules_two, "contig": rules_contig}
+    for i, task in enumerate(tasks):
+        r = by_kind[task.kind][task.fast_speed_id]
+        r.max_lex_fge = np.float32(fge[i])
+        r.max_lex_egf = np.float32(egf[i])

@@ -1,0 +1,153 @@
+"""TPU pipeline: the reference's 9-phase flow (Start.cu:489-629) with device stages.
+
+Stage map (oracle equivalent in parentheses):
+  pass1/pass2        -> search.passes          (oracle.search.pass1/2)
+  precompute         -> search.precompute_tpu  (oracle.search.precompute)
+  gap enumeration    -> host (oracle.search.one/two_gap_enumeration; tiny workload)
+  gappy lookups      -> search.lookup          (oracle.search.one/two_gap_lookup)
+  extraction         -> extract.device         (oracle.extract.*)
+  lexicon build      -> shared host (features.lexicon)
+  MaxLex             -> features.maxlex        (oracle.features.compute_maxlex)
+  grammar write      -> shared host (grammar.writer)
+
+Byte-identical grammars with the oracle are enforced by tests/test_conformance.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from cgx_tpu.config import DEFAULT_CONFIG, ExtractorConfig
+from cgx_tpu.preproc import corpus as cp
+from cgx_tpu.preproc import suffix_array as sab
+from cgx_tpu.index import container as ic
+from cgx_tpu.search import passes, lookup
+from cgx_tpu.search import precompute as pcx
+from cgx_tpu.extract import device as xdev
+from cgx_tpu.extract.blocks import generate_blocks
+from cgx_tpu.features import lexicon as lx
+from cgx_tpu.features import maxlex as ml
+from cgx_tpu.grammar import writer as gw
+from cgx_tpu.oracle import search as ose
+from cgx_tpu.types import GapRules
+from cgx_tpu.utils.timing import PhaseTimer
+
+
+def _concat_gaprules(a: GapRules, b: GapRules) -> GapRules:
+    return GapRules(*[np.concatenate([getattr(a, f.name), getattr(b, f.name)])
+                      for f in dataclasses.fields(GapRules)])
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    queries: cp.QuerySet
+    per_query_lines: list
+    counters: dict
+    timing: PhaseTimer
+
+
+def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
+                 cfg: ExtractorConfig = DEFAULT_CONFIG,
+                 timing: PhaseTimer = None) -> PipelineResult:
+    t = timing or PhaseTimer()
+    with t.phase("refsin"):
+        source = cp.load_source_corpus(f_lines)
+        target = cp.load_target_corpus(e_lines)
+        align = cp.load_alignment(a_lines, source, target)
+        lex = cp.load_lex_table(lex_tokens, source.vocab, target.vocab)
+    with t.phase("qrysload"):
+        queries = cp.load_queries(q_lines, source.vocab)
+    with t.phase("suffixarray"):
+        sa = sab.build_index(source.str_)
+    with t.phase("qrysin"):
+        index = ic.build_index(source, target, sa, align, lex, cfg)
+    sa_host = np.asarray(sa.sa)
+
+    with t.phase("precompute"):
+        pc = pcx.precompute_tpu(index, source, sa, cfg)
+    with t.phase("kernel"):
+        p1 = passes.pass1_tpu(index, queries)
+    with t.phase("kernel2"):
+        p2 = passes.pass2_tpu(index, queries, p1)
+    with t.phase("enumeration"):
+        enum1, search1 = ose.sort_and_dedup_onegap(
+            ose.one_gap_enumeration(queries, p1, cfg), queries)
+    with t.phase("lookup1"):
+        onegap_sa = lookup.one_gap_lookup_tpu(index, sa_host, queries, p1, p2,
+                                              search1, pc, cfg)
+    with t.phase("enumeration"):
+        enum2, search2 = ose.sort_and_dedup_twogap(
+            ose.two_gap_enumeration(queries, p1, enum1, search1, cfg), queries)
+    with t.phase("lookup2"):
+        twogap_sa = lookup.two_gap_lookup_tpu(index, queries, search1,
+                                              onegap_sa, search2, pc, cfg)
+
+    with t.phase("extractin"):
+        blocks = generate_blocks(sa, queries, p1, p2)
+    with t.phase("extractkernel"):
+        contig, og_blocks, tg_blocks = xdev.extract_contiguous_tpu(
+            index, blocks, cfg)
+        tg_seeds = xdev.extract_twogap_tpu(index, search1, search2, twogap_sa,
+                                           cfg)
+        og_seeds, tg_onegap = xdev.extract_onegap_tpu(index, search1,
+                                                      onegap_sa, pc, cfg)
+    sep_onegap = len(og_blocks.gappy_index)
+    rules1 = _concat_gaprules(og_blocks, og_seeds)
+    sep1 = len(tg_blocks.gappy_index)
+    sep2 = sep1 + len(tg_seeds.gappy_index)
+    rules2 = _concat_gaprules(_concat_gaprules(tg_blocks, tg_seeds), tg_onegap)
+
+    with t.phase("lexicon"):
+        tasks: list = []
+        rules_one = lx.create_lexicon_onegap(rules1, source, target, blocks,
+                                             search1, enum1, onegap_sa, pc,
+                                             sep_onegap, cfg, tasks)
+        rules_two = lx.create_lexicon_twogap(rules2, source, target, blocks,
+                                             search1, enum1, search2, enum2,
+                                             onegap_sa, pc, sep1, sep2, cfg,
+                                             tasks)
+        rules_contig = lx.create_lexicon_contig(contig, source, target, blocks,
+                                                cfg, tasks)
+    with t.phase("maxlex"):
+        ml.compute_maxlex_tpu(tasks, index, rules_one, rules_two, rules_contig,
+                              cfg)
+
+    with t.phase("printout"):
+        G = len(blocks.start)
+        D1 = len(search1.qrystart)
+        D2 = len(search2.blockid)
+        ud_contig = lx.updown_index(rules_contig, G)
+        ud_one = lx.updown_index(rules_one, 2 * G + D1)
+        ud_two = lx.updown_index(rules_two, G + D2 + 2 * D1)
+        per_query_lines = [
+            gw.grammar_lines_for_query(
+                q, blocks.qry_global, search1.query_with_id,
+                search2.query_with_id, ud_contig, ud_one, ud_two,
+                rules_contig, rules_one, rules_two, G, D1, D2)
+            for q in range(queries.qryscount)
+        ]
+    counters = dict(
+        blocks=G, distinct_onegap=D1, distinct_twogap=D2,
+        onegap_sa=len(onegap_sa.position), twogap_sa=len(twogap_sa.position),
+        contig_pairs=len(contig.blocknumber),
+        onegap_rules=len(rules1.gappy_index),
+        twogap_rules=len(rules2.gappy_index),
+        distinct_rules=len(rules_one) + len(rules_two) + len(rules_contig),
+        total_lines=sum(len(x) for x in per_query_lines))
+    return PipelineResult(queries=queries, per_query_lines=per_query_lines,
+                          counters=counters, timing=t)
+
+
+def run_pipeline_files(reffile, qryfile, tarfile, alignfile, lexfile, dest_dir,
+                       cfg: ExtractorConfig = DEFAULT_CONFIG):
+    res = run_pipeline(
+        cp.read_lines(reffile), cp.read_lines(tarfile), cp.read_lines(alignfile),
+        cp.read_tokens(lexfile), cp.read_lines(qryfile), cfg)
+    gw.write_grammars(dest_dir, res.queries.qryscount, cfg.is_sample,
+                      res.per_query_lines)
+    import sys
+    print(res.timing.report(), file=sys.stderr)
+    print("counters:", res.counters, file=sys.stderr)
+    return res

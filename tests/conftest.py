@@ -14,7 +14,12 @@ import pathlib
 import subprocess
 import sys
 
+import jax
 import pytest
+
+# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS from the env;
+# the config update below takes precedence and pins tests to the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 FIXTURE_DIR = pathlib.Path(__file__).parent / "fixtures" / "toy"
 

@@ -1,0 +1,58 @@
+"""North-star conformance: the TPU pipeline's grammars must be byte-identical to the
+sequential oracle's (BASELINE.json: byte-identical grammars on the toy corpus)."""
+
+import numpy as np
+import pytest
+
+from cgx_tpu.config import ExtractorConfig
+from cgx_tpu.preproc import corpus as cp
+from cgx_tpu.oracle import pipeline as opl
+from cgx_tpu import pipeline as tpl
+
+
+def _inputs(toy_fixture):
+    return (cp.read_lines(str(toy_fixture / "corpus.f")),
+            cp.read_lines(str(toy_fixture / "corpus.e")),
+            cp.read_lines(str(toy_fixture / "corpus.a")),
+            cp.read_tokens(str(toy_fixture / "lex.txt")),
+            cp.read_lines(str(toy_fixture / "query.f")))
+
+
+@pytest.mark.parametrize("sample", [True, False])
+def test_pipeline_matches_oracle_byte_identical(toy_fixture, sample):
+    cfg = ExtractorConfig(precompute_count=30, is_sample=sample)
+    args = _inputs(toy_fixture)
+    o = opl.run_oracle(*args, cfg)
+    t = tpl.run_pipeline(*args, cfg)
+    assert len(o.per_query_lines) == len(t.per_query_lines)
+    for q, (lo, lt) in enumerate(zip(o.per_query_lines, t.per_query_lines)):
+        assert lo == lt, (
+            f"query {q}: first diff at line "
+            f"{next(i for i, (a, b) in enumerate(zip(lo, lt)) if a != b)}:\n"
+            f"oracle: {next(a for a, b in zip(lo, lt) if a != b)}\n"
+            f"tpu:    {next(b for a, b in zip(lo, lt) if a != b)}")
+
+
+def test_precompute_matches_oracle(toy_fixture):
+    from cgx_tpu.preproc import suffix_array as sab
+    from cgx_tpu.index import container as ic
+    from cgx_tpu.oracle import search as se
+    from cgx_tpu.search import precompute as pcx
+    cfg = ExtractorConfig(precompute_count=30)
+    f, e, a, lex_t, q = _inputs(toy_fixture)
+    src = cp.load_source_corpus(f)
+    tgt = cp.load_target_corpus(e)
+    al = cp.load_alignment(a, src, tgt)
+    lex = cp.load_lex_table(lex_t, src.vocab, tgt.vocab)
+    sa = sab.build_index(src.str_)
+    idx = ic.build_index(src, tgt, sa, al, lex, cfg)
+    pc_o = se.precompute(src, sa, al, cfg)
+    pc_t = pcx.precompute_tpu(idx, src, sa, cfg)
+    np.testing.assert_array_equal(pc_t.frequent_list, pc_o.frequent_list)
+    np.testing.assert_array_equal(pc_t.tok_len, pc_o.tok_len)
+    np.testing.assert_array_equal(pc_t.index_start, pc_o.index_start)
+    np.testing.assert_array_equal(pc_t.index_end, pc_o.index_end)
+    np.testing.assert_array_equal(pc_t.onegap_start, pc_o.onegap_start)
+    np.testing.assert_array_equal(pc_t.onegap_length, pc_o.onegap_length)
+    np.testing.assert_array_equal(pc_t.feature_missing, pc_o.feature_missing)
+    assert pc_t.count == pc_o.count > 0

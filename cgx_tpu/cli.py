@@ -41,6 +41,12 @@ def main(argv=None) -> int:
     if not (1 <= args.fingerlen <= 10):
         print("finger length must be between 1 and 10", file=sys.stderr)
         return 1
+    import os
+    for name in ("reffile", "qryfile", "reftargetfile", "alignfile", "lexfile"):
+        path = getattr(args, name)
+        if not os.path.exists(path):
+            print(f'Can not open {name} "{path}"', file=sys.stderr)
+            return 1
     cfg = dataclasses.replace(
         DEFAULT_CONFIG, minmatchlen=args.minmatchlen, fingerlen=args.fingerlen,
         is_sample=not args.no_sample)

@@ -28,6 +28,7 @@ import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.extract.blocks import sample_indices
+from cgx_tpu.utils.batching import pad_items
 from cgx_tpu.types import Blocks, ContigRules, GapOnSA, GapRules, OneGapSearch, Precomp, TwoGapSearch
 
 IMAX = 14   # max growth distance: lm + i <= max_rule_span with lm >= 1
@@ -172,126 +173,133 @@ def _extract_contig_item(refstr, refsa, rlp, l_tar, r_tar, mrs, msym, sa_pos, lm
     aa, bb = jnp.meshgrid(ir, ir, indexing="ij")
     w2_ts, w2_te, w2_ok = jax.vmap(jax.vmap(whole2))(aa, bb)
 
-    # sequential growth (unrolled; mirrors ExtractPair.cu:1280-1791)
-    XabCount = jnp.int32(0)
-    abXCount = jnp.int32(0)
-    F = jnp.bool_(False)
-    z = jnp.int32(0)
-    xab = dict(v=F, ts=z, te=z, g1s=z, g1e=z)
-    abx = dict(v=F, ts=z, te=z, g1s=z, g1e=z)
-    xabx = dict(v=F, ts=z, te=z, g1s=z, g1e=z, g2s=z, g2e=z)
-
-    for i in range(1, IMAX + 1):
+    # sequential growth as fori_loops (mirrors ExtractPair.cu:1280-1791);
+    # rolled loops keep the XLA graph small (compile time) at identical semantics
+    def xabx_scan(i, xcond, XabX_in, xabx, count_limit, al_k, pmin_k, pmax_k,
+                  gap_k, w_ts_k, w_te_k, w_ok_k, o_min, o_max, scan_is_left):
+        """One XabX inner branch: scan extents k = 1..count_limit.
+        (al_k, pmin_k, ...) are the scanned side's arrays at k; (o_min, o_max)
+        the other side's fixed extent-i gap span for the emitted fields."""
         i0 = i - 1
+
+        def body(k, st):
+            alive, XabX, v, ts, te, g1s, g1e, g2s, g2e = st
+            k0 = k - 1
+            run = alive & (k <= count_limit) & XabX
+            budget = k + i + lm <= mrs
+            alive &= ~(run & ~budget)
+            nx = run & budget & al_k[k0]
+            spank2 = pmax_k[k0] - pmin_k[k0] >= mrs
+            alive &= ~(nx & spank2)
+            nx &= ~spank2
+            nx &= gap_k[k0]
+            w_span_bad = w_te_k[k0] - w_ts_k[k0] >= mrs
+            alive &= ~(nx & w_span_bad)
+            nx &= ~w_span_bad
+            nx &= w_ok_k[k0]
+            emit = nx & XabX
+            v |= emit
+            ts = jnp.where(emit, w_ts_k[k0], ts)
+            te = jnp.where(emit, w_te_k[k0], te)
+            # gap fields: scanned side at k, other side at i
+            sg_s = stb + pmin_k[k0]
+            sg_e = stb + pmax_k[k0]
+            og_s = stb + o_min
+            og_e = stb + o_max
+            # gap1 is always the LEFT X span, gap2 the RIGHT X span
+            n1s, n1e = (sg_s, sg_e) if scan_is_left else (og_s, og_e)
+            n2s, n2e = (og_s, og_e) if scan_is_left else (sg_s, sg_e)
+            g1s = jnp.where(emit, n1s, g1s)
+            g1e = jnp.where(emit, n1e, g1e)
+            g2s = jnp.where(emit, n2s, g2s)
+            g2e = jnp.where(emit, n2e, g2e)
+            XabX = jnp.where(emit, jnp.bool_(False), XabX)
+            return (alive, XabX, v, ts, te, g1s, g1e, g2s, g2e)
+
+        st = (xcond, XabX_in) + xabx
+        st = jax.lax.fori_loop(1, IMAX + 1, body, st)
+        return st[1], st[2:]
+
+    def outer_body(i, st):
+        (Xab, abX, XabX, XabNoSuccess, abXNoSuccess, XabCount, abXCount,
+         xab, abx, xabx) = st
+        i0 = i - 1
+        F = jnp.bool_(False)
         active = (lm + i <= mrs) & (abXNoSuccess | XabNoSuccess | XabX)
         # ---- Xab (left)
         l_has = (cs - i >= 0) & (ltok[i0] >= 2)
         l_proc = active & Xab & l_has
         Xab = jnp.where(active & ~l_has, F, Xab)
         nxt = l_proc & lal[i0]
-        Xab = jnp.where(l_proc & ~lal[i0] & (i == 1), F, Xab)
-        XabX = jnp.where(l_proc & ~lal[i0] & (i == 1), F, XabX)
+        first_unal = l_proc & ~lal[i0] & (i == 1)
+        Xab = jnp.where(first_unal, F, Xab)
+        XabX = jnp.where(first_unal, F, XabX)
         spank = lmax[i0] - lmin[i0] >= mrs
         Xab = jnp.where(l_proc & spank, F, Xab)
         nxt &= ~spank
         nxt &= lgap[i0]
-        XabCount = jnp.where(nxt, jnp.int32(i), XabCount)
+        XabCount = jnp.where(nxt, i, XabCount)
         wkill = l_proc & XabNoSuccess & nxt & (wl_te[i0] - wl_ts[i0] >= mrs)
         Xab = jnp.where(wkill, F, Xab)
-        emit = (l_proc & XabNoSuccess & nxt & ~wkill & wl_ok[i0])
-        xab = dict(
-            v=xab["v"] | emit,
-            ts=jnp.where(emit, wl_ts[i0], xab["ts"]),
-            te=jnp.where(emit, wl_te[i0], xab["te"]),
-            g1s=jnp.where(emit, stb + lmin[i0], xab["g1s"]),
-            g1e=jnp.where(emit, stb + lmax[i0], xab["g1e"]))
+        emit = l_proc & XabNoSuccess & nxt & ~wkill & wl_ok[i0]
+        xab = (xab[0] | emit,
+               jnp.where(emit, wl_ts[i0], xab[1]),
+               jnp.where(emit, wl_te[i0], xab[2]),
+               jnp.where(emit, stb + lmin[i0], xab[3]),
+               jnp.where(emit, stb + lmax[i0], xab[4]))
         XabNoSuccess = jnp.where(emit, F, XabNoSuccess)
         # ---- abX (right)
         r_has = rtok[i0] >= 2
         r_proc = active & abX & r_has
         abX = jnp.where(active & ~r_has, F, abX)
         nxt = r_proc & ral[i0]
-        abX = jnp.where(r_proc & ~ral[i0] & (i == 1), F, abX)
-        XabX = jnp.where(r_proc & ~ral[i0] & (i == 1), F, XabX)
+        first_unal = r_proc & ~ral[i0] & (i == 1)
+        abX = jnp.where(first_unal, F, abX)
+        XabX = jnp.where(first_unal, F, XabX)
         spank = rmax[i0] - rmin[i0] >= mrs
         abX = jnp.where(r_proc & spank, F, abX)
         nxt &= ~spank
         nxt &= rgap[i0]
-        abXCount = jnp.where(nxt, jnp.int32(i), abXCount)
+        abXCount = jnp.where(nxt, i, abXCount)
         wkill = r_proc & abXNoSuccess & nxt & (wr_te[i0] - wr_ts[i0] >= mrs)
         abX = jnp.where(wkill, F, abX)
-        emit = (r_proc & abXNoSuccess & nxt & ~wkill & wr_ok[i0])
-        abx = dict(
-            v=abx["v"] | emit,
-            ts=jnp.where(emit, wr_ts[i0], abx["ts"]),
-            te=jnp.where(emit, wr_te[i0], abx["te"]),
-            g1s=jnp.where(emit, stb + rmin[i0], abx["g1s"]),
-            g1e=jnp.where(emit, stb + rmax[i0], abx["g1e"]))
+        emit = r_proc & abXNoSuccess & nxt & ~wkill & wr_ok[i0]
+        abx = (abx[0] | emit,
+               jnp.where(emit, wr_ts[i0], abx[1]),
+               jnp.where(emit, wr_te[i0], abx[2]),
+               jnp.where(emit, stb + rmin[i0], abx[3]),
+               jnp.where(emit, stb + rmax[i0], abx[4]))
         abXNoSuccess = jnp.where(emit, F, abXNoSuccess)
         # ---- XabX (ExtractPair.cu:1514-1777)
         xcond = active & XabX & (abX | Xab)
-        # branch 1: left extent just became i; scan right extents 1..abXCount
-        b1 = xcond & (XabCount == i)
-        alive = b1
-        for k in range(1, IMAX + 1):
-            k0 = k - 1
-            run = alive & (k <= abXCount) & XabX
-            budget = k + i + lm <= mrs
-            alive &= ~(run & ~budget)
-            nx = run & budget & ral[k0]
-            spank2 = rmax[k0] - rmin[k0] >= mrs
-            alive &= ~(nx & spank2)
-            nx &= ~spank2
-            nx &= rgap[k0]
-            w_span_bad = w2_te[i0, k0] - w2_ts[i0, k0] >= mrs
-            alive &= ~(nx & w_span_bad)
-            nx &= ~w_span_bad
-            nx &= w2_ok[i0, k0]
-            emit = nx & XabX
-            xabx = dict(
-                v=xabx["v"] | emit,
-                ts=jnp.where(emit, w2_ts[i0, k0], xabx["ts"]),
-                te=jnp.where(emit, w2_te[i0, k0], xabx["te"]),
-                g1s=jnp.where(emit, stb + lmin[i0], xabx["g1s"]),
-                g1e=jnp.where(emit, stb + lmax[i0], xabx["g1e"]),
-                g2s=jnp.where(emit, stb + rmin[k0], xabx["g2s"]),
-                g2e=jnp.where(emit, stb + rmax[k0], xabx["g2e"]))
-            XabX = jnp.where(emit, F, XabX)
-        # branch 2: right extent just became i; scan left extents 1..XabCount
-        b2 = xcond & XabX & (abXCount == i)
-        alive = b2
-        for k in range(1, IMAX + 1):
-            k0 = k - 1
-            run = alive & (k <= XabCount) & XabX
-            budget = k + i + lm <= mrs
-            alive &= ~(run & ~budget)
-            nx = run & budget & lal[k0]
-            spank2 = lmax[k0] - lmin[k0] >= mrs
-            alive &= ~(nx & spank2)
-            nx &= ~spank2
-            nx &= lgap[k0]
-            w_span_bad = w2_te[k0, i0] - w2_ts[k0, i0] >= mrs
-            alive &= ~(nx & w_span_bad)
-            nx &= ~w_span_bad
-            nx &= w2_ok[k0, i0]
-            emit = nx & XabX
-            xabx = dict(
-                v=xabx["v"] | emit,
-                ts=jnp.where(emit, w2_ts[k0, i0], xabx["ts"]),
-                te=jnp.where(emit, w2_te[k0, i0], xabx["te"]),
-                g1s=jnp.where(emit, stb + lmin[k0], xabx["g1s"]),
-                g1e=jnp.where(emit, stb + lmax[k0], xabx["g1e"]),
-                g2s=jnp.where(emit, stb + rmin[i0], xabx["g2s"]),
-                g2e=jnp.where(emit, stb + rmax[i0], xabx["g2e"]))
-            XabX = jnp.where(emit, F, XabX)
+        # branch 1 scans the RIGHT side (left extent fixed at i)
+        XabX, xabx = xabx_scan(i, xcond & (XabCount == i), XabX, xabx,
+                               abXCount, ral, rmin, rmax, rgap,
+                               w2_ts[i0], w2_te[i0], w2_ok[i0],
+                               lmin[i0], lmax[i0], False)
+        # branch 2 scans the LEFT side (right extent fixed at i)
+        XabX, xabx = xabx_scan(i, xcond & XabX & (abXCount == i), XabX, xabx,
+                               XabCount, lal, lmin, lmax, lgap,
+                               w2_ts[:, i0], w2_te[:, i0], w2_ok[:, i0],
+                               rmin[i0], rmax[i0], True)
         XabX = jnp.where(active & ~(abX | Xab), F, XabX)
         # spin sync (ExtractPair.cu:1782-1789)
         sync = active & ~XabX
         XabNoSuccess = jnp.where(sync & ~Xab, F, XabNoSuccess)
         abXNoSuccess = jnp.where(sync & ~abX, F, abXNoSuccess)
+        return (Xab, abX, XabX, XabNoSuccess, abXNoSuccess, XabCount, abXCount,
+                xab, abx, xabx)
 
-    pack = lambda d: tuple(d.values())
-    return (ab_ok, ab_ts, ab_len) + pack(xab) + pack(abx) + pack(xabx)
+    F0 = jnp.bool_(False)
+    z = jnp.int32(0)
+    rule5 = (F0, z, z, z, z)
+    rule7 = (F0, z, z, z, z, z, z)
+    st = (Xab, abX, XabX, XabNoSuccess, abXNoSuccess, jnp.int32(0),
+          jnp.int32(0), rule5, rule5, rule7)
+    st = jax.lax.fori_loop(1, IMAX + 1, outer_body, st)
+    xab, abx, xabx = st[7], st[8], st[9]
+    return (ab_ok, ab_ts, ab_len) + xab + abx + xabx
+
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "msym"))
@@ -320,11 +328,12 @@ def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig):
         empty = GapRules(*(np.empty(0, np.int32) for _ in range(7)))
         return (ContigRules(*(np.empty(0, np.int32) for _ in range(3))),
                 empty, empty)
+    ni, sa_p, lm_p = pad_items(np.asarray(sa_pos, np.int32),
+                               np.asarray(lms, np.int32))
     out = _contig_batch(index.refstr_padded, index.sa, index.rlp, index.l_tar,
-                        index.r_tar, jnp.asarray(np.asarray(sa_pos, np.int32)),
-                        jnp.asarray(np.asarray(lms, np.int32)),
+                        index.r_tar, jnp.asarray(sa_p), jnp.asarray(lm_p),
                         cfg.max_rule_span, cfg.max_rule_symbols)
-    out = [np.asarray(x) for x in out]
+    out = [np.asarray(x)[:ni] for x in out]
     (ab_v, ab_ts, ab_len,
      x_v, x_ts, x_te, x_g1s, x_g1e,
      a_v, a_ts, a_te, a_g1s, a_g1e,
@@ -451,12 +460,10 @@ def _extract_onegap_item(refstr, rlp, l_tar, r_tar, mrs, msym, cs, first_end,
     wl_ts, wl_te, wl_ok = jax.vmap(whole_l)(ir)
     wr_ts, wr_te, wr_ok = jax.vmap(whole_r)(ir)
 
-    F = jnp.bool_(False)
-    z = jnp.int32(0)
-    xaxb = dict(v=F, ts=z, te=z, g1s=z, g1e=z)
-    axbx = dict(v=F, ts=z, te=z, g2s=z, g2e=z)
-    for i in range(1, IMAX + 1):
+    def outer_body(i, st):
+        left, right, xaxb, axbx = st
         i0 = i - 1
+        F = jnp.bool_(False)
         active = (first_end + 1 + i <= mrs) & (left | right)
         # XaXb (prepend X), ExtractPair.cu:639-760
         l_has = (cs - i >= 0) & (ltok[i0] >= 2)
@@ -471,12 +478,11 @@ def _extract_onegap_item(refstr, rlp, l_tar, r_tar, mrs, msym, cs, first_end,
         wkill = nxt & (wl_te[i0] - wl_ts[i0] >= mrs)
         left = jnp.where(wkill, F, left)
         emit = nxt & ~wkill & wl_ok[i0]
-        xaxb = dict(
-            v=xaxb["v"] | emit,
-            ts=jnp.where(emit, wl_ts[i0], xaxb["ts"]),
-            te=jnp.where(emit, wl_te[i0], xaxb["te"]),
-            g1s=jnp.where(emit, stb + lmin[i0], xaxb["g1s"]),
-            g1e=jnp.where(emit, stb + lmax[i0], xaxb["g1e"]))
+        xaxb = (xaxb[0] | emit,
+                jnp.where(emit, wl_ts[i0], xaxb[1]),
+                jnp.where(emit, wl_te[i0], xaxb[2]),
+                jnp.where(emit, stb + lmin[i0], xaxb[3]),
+                jnp.where(emit, stb + lmax[i0], xaxb[4]))
         left = jnp.where(emit, F, left)
         # aXbX (append X), ExtractPair.cu:763-880
         r_has = rtok[i0] >= 2
@@ -491,19 +497,23 @@ def _extract_onegap_item(refstr, rlp, l_tar, r_tar, mrs, msym, cs, first_end,
         wkill = nxt & (wr_te[i0] - wr_ts[i0] >= mrs)
         right = jnp.where(wkill, F, right)
         emit = nxt & ~wkill & wr_ok[i0]
-        axbx = dict(
-            v=axbx["v"] | emit,
-            ts=jnp.where(emit, wr_ts[i0], axbx["ts"]),
-            te=jnp.where(emit, wr_te[i0], axbx["te"]),
-            g2s=jnp.where(emit, stb + rmin[i0], axbx["g2s"]),
-            g2e=jnp.where(emit, stb + rmax[i0], axbx["g2e"]))
+        axbx = (axbx[0] | emit,
+                jnp.where(emit, wr_ts[i0], axbx[1]),
+                jnp.where(emit, wr_te[i0], axbx[2]),
+                jnp.where(emit, stb + rmin[i0], axbx[3]),
+                jnp.where(emit, stb + rmax[i0], axbx[4]))
         right = jnp.where(emit, F, right)
+        return (left, right, xaxb, axbx)
+
+    F0 = jnp.bool_(False)
+    z = jnp.int32(0)
+    rule5 = (F0, z, z, z, z)
+    _, _, xaxb, axbx = jax.lax.fori_loop(1, IMAX + 1, outer_body,
+                                         (left, right, rule5, rule5))
 
     return (axb_v, ts, te, gap1s, gap1e,
-            xaxb["v"], xaxb["ts"], xaxb["te"], xaxb["g1s"], xaxb["g1e"],
-            axbx["v"], axbx["ts"], axbx["te"], axbx["g2s"], axbx["g2e"])
-
-
+            xaxb[0], xaxb[1], xaxb[2], xaxb[3], xaxb[4],
+            axbx[0], axbx[1], axbx[2], axbx[3], axbx[4])
 @functools.partial(jax.jit, static_argnames=("mrs", "msym"))
 def _onegap_batch(refstr, rlp, l_tar, r_tar, cs, first_end, sl, el, mrs, msym):
     f = functools.partial(_extract_onegap_item, refstr, rlp, l_tar, r_tar,
@@ -543,13 +553,14 @@ def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
         empty = GapRules(*(np.empty(0, np.int32) for _ in range(7)))
         return empty, empty
     ids = np.asarray(ids, dtype=np.int64)
+    ni, cs_p, fe_p, sl_p, el_p = pad_items(
+        np.asarray(css, np.int32), np.asarray(fes, np.int32),
+        np.asarray(sls, np.int32), np.asarray(els, np.int32))
     out = _onegap_batch(index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-                        jnp.asarray(np.asarray(css, np.int32)),
-                        jnp.asarray(np.asarray(fes, np.int32)),
-                        jnp.asarray(np.asarray(sls, np.int32)),
-                        jnp.asarray(np.asarray(els, np.int32)),
-                        cfg.max_rule_span, cfg.max_rule_symbols)
-    out = [np.asarray(x) for x in out]
+                        jnp.asarray(cs_p), jnp.asarray(fe_p), jnp.asarray(sl_p),
+                        jnp.asarray(el_p), cfg.max_rule_span,
+                        cfg.max_rule_symbols)
+    out = [np.asarray(x)[:ni] for x in out]
     (b_v, b_ts, b_te, b_g1s, b_g1e,
      l_v, l_ts, l_te, l_g1s, l_g1e,
      r_v, r_ts, r_te, r_g2s, r_g2e) = out
@@ -638,15 +649,15 @@ def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
             cls.append(cl)
     if not ids:
         return GapRules(*(np.empty(0, np.int32) for _ in range(7)))
+    ni, cs_p, fe_p, se_p, sl_p, el_p, cl_p = pad_items(
+        np.asarray(css, np.int32), np.asarray(fes, np.int32),
+        np.asarray(ses, np.int32), np.asarray(sls, np.int32),
+        np.asarray(els, np.int32), np.asarray(cls, np.int32))
     out = _twogap_batch(index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-                        jnp.asarray(np.asarray(css, np.int32)),
-                        jnp.asarray(np.asarray(fes, np.int32)),
-                        jnp.asarray(np.asarray(ses, np.int32)),
-                        jnp.asarray(np.asarray(sls, np.int32)),
-                        jnp.asarray(np.asarray(els, np.int32)),
-                        jnp.asarray(np.asarray(cls, np.int32)),
+                        jnp.asarray(cs_p), jnp.asarray(fe_p), jnp.asarray(se_p),
+                        jnp.asarray(sl_p), jnp.asarray(el_p), jnp.asarray(cl_p),
                         cfg.max_rule_span)
-    v, ts, te, g1s, g1e, g2s, g2e = [np.asarray(x) for x in out]
+    v, ts, te, g1s, g1e, g2s, g2e = [np.asarray(x)[:ni] for x in out]
     ids = np.asarray(ids, dtype=np.int64)
     m = v
     a = np.stack([ts[m], (te - ts)[m], (g1s - ts)[m], (g1e - ts)[m],

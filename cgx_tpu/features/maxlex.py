@@ -18,13 +18,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
+from cgx_tpu.utils.batching import pad_items
 
 TPOSW = 16   # target span width (end offset < max_rule_span)
 SRCW = 5     # max source words (MAX_rule_symbols)
 
 
 def _lookup(lex_key, lex_val, s, t):
-    key = (s.astype(jnp.int64) << 32) | (t.astype(jnp.int64) & 0xFFFFFFFF)
+    # must match container.pack_lex_key exactly
+    key = (s.astype(jnp.int64) << 32) | (t.astype(jnp.int64) + 2**31)
     i = jnp.searchsorted(lex_key, key)
     ic = jnp.clip(i, 0, lex_key.shape[0] - 1)
     found = (i < lex_key.shape[0]) & (lex_key[ic] == key)
@@ -89,13 +91,18 @@ def compute_maxlex_tpu(tasks, index, rules_one, rules_two, rules_contig,
         if task.kind == "twogap":
             g2[i], g21[i] = task.gap2, task.gap2_1
 
-    fge_best, egf_best, tmask = _maxlex_batch(
-        index.lex_key, index.lex_val1, index.lex_val2, index.tgt_str,
-        jnp.asarray(src_pat), jnp.asarray(t0), jnp.asarray(tend),
-        jnp.asarray(g1), jnp.asarray(g11), jnp.asarray(g2), jnp.asarray(g21))
-    fge_best = np.asarray(fge_best)
-    egf_best = np.asarray(egf_best)
-    tmask = np.asarray(tmask)
+    ni, sp_p, t0_p, te_p, g1_p, g11_p, g2_p, g21_p = pad_items(
+        src_pat, t0, tend, g1, g11, g2, g21)
+    # int64 packed keys need x64 mode (off by default); scope it to this batch
+    with jax.enable_x64(True):
+        fge_best, egf_best, tmask = _maxlex_batch(
+            jnp.asarray(index.lex_key), index.lex_val1, index.lex_val2,
+            index.tgt_str, jnp.asarray(sp_p), jnp.asarray(t0_p),
+            jnp.asarray(te_p), jnp.asarray(g1_p), jnp.asarray(g11_p),
+            jnp.asarray(g2_p), jnp.asarray(g21_p))
+    fge_best = np.asarray(fge_best)[:ni]
+    egf_best = np.asarray(egf_best)[:ni]
+    tmask = np.asarray(tmask)[:ni]
 
     maxscore = np.float32(cfg.max_score)
     fge = np.zeros(T, dtype=np.float32)

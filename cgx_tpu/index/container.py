@@ -33,7 +33,9 @@ class GrammarIndex:
     l_tar: jnp.ndarray           # int32 [target toklen]
     r_tar: jnp.ndarray
     tgt_str: jnp.ndarray         # int32 [target toklen]
-    lex_key: jnp.ndarray         # int64 [n_lex] packed (src << 32) | (tgt & mask)
+    lex_key: np.ndarray          # int64 [n_lex] packed (src << 32) | (tgt & mask);
+                                 # kept host-side, moved to device under enable_x64
+                                 # by features.maxlex (int64 needs the x64 mode)
     lex_val1: jnp.ndarray        # float32
     lex_val2: jnp.ndarray
     _qtok_cache: dict = dataclasses.field(default_factory=dict)
@@ -49,8 +51,10 @@ class GrammarIndex:
 def pack_lex_key(src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
     """Order-preserving packing of (src, tgt) int32 pairs into sortable int64:
     matches the (ch, eng) lexicographic comparator (lexFileCompare,
-    ExtractPair.cu:28-35), including the -1 NULL ids."""
-    return (src.astype(np.int64) << 32) | (tgt.astype(np.int64) & 0xFFFFFFFF)
+    ExtractPair.cu:28-35).  The +2**31 bias keeps signed tgt order (the -1 NULL id
+    must sort before positive ids) in the unsigned low 32 bits."""
+    return (np.asarray(src).astype(np.int64) << 32) | (
+        np.asarray(tgt).astype(np.int64) + 2**31)
 
 
 def build_index(source: SourceCorpus, target: TargetCorpus, sa: SAIndex,
@@ -76,7 +80,7 @@ def build_index(source: SourceCorpus, target: TargetCorpus, sa: SAIndex,
         l_tar=jnp.asarray(np.concatenate([align.L_tar.astype(np.int32), tgt_pad])),
         r_tar=jnp.asarray(np.concatenate([align.R_tar.astype(np.int32), tgt_pad])),
         tgt_str=jnp.asarray(target.str_),
-        lex_key=jnp.asarray(pack_lex_key(lex.keys_src, lex.keys_tgt)),
+        lex_key=pack_lex_key(lex.keys_src, lex.keys_tgt),
         lex_val1=jnp.asarray(lex.val1),
         lex_val2=jnp.asarray(lex.val2),
     )

@@ -23,6 +23,7 @@ import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.types import GapOnSA, OneGapSearch, Precomp, TwoGapSearch
+from cgx_tpu.utils.batching import pad_items
 
 MMOV = 16  # static move-axis width; real moves bounded by max_rule_span - 2
 
@@ -253,18 +254,22 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
         tx = np.arange(len(item_pat)) - np.repeat(offs, counts)
         row = pc.index_start[pci[item_pat]] + tx
+        ni, a1, a2, a3, a4, a5, a6 = pad_items(
+            pc.onegap_start[row], pc.onegap_length[row],
+            sl_all[item_pat].astype(np.int32), el_all[item_pat].astype(np.int32),
+            tok_all[item_pat].astype(np.int32),
+            stok_all[item_pat].astype(np.int32))
         ok, spos, length = _pcs_batch(
             index.refstr_padded, index.device_query_tokens(queries),
-            jnp.asarray(pc.onegap_start[row]), jnp.asarray(pc.onegap_length[row]),
-            jnp.asarray(sl_all[item_pat].astype(np.int32)),
-            jnp.asarray(el_all[item_pat].astype(np.int32)),
-            jnp.asarray(tok_all[item_pat].astype(np.int32)),
-            jnp.asarray(stok_all[item_pat].astype(np.int32)), mrs)
-        ok = np.asarray(ok)
+            jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(a3), jnp.asarray(a4),
+            jnp.asarray(a5), jnp.asarray(a6), mrs)
+        ok = np.asarray(ok)[:ni]
+        spos = np.asarray(spos)[:ni]
+        length = np.asarray(length)[:ni]
         if ok.any():
             rows_parts.append(np.stack([
-                item_pat[ok], np.asarray(spos)[ok].astype(np.int64),
-                np.asarray(length)[ok].astype(np.int64)], axis=1))
+                item_pat[ok], spos[ok].astype(np.int64),
+                length[ok].astype(np.int64)], axis=1))
 
     # 3) forward / backward scans
     for fwd in (True, False):
@@ -278,32 +283,38 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         tx = np.arange(len(item_pat)) - np.repeat(offs, counts)
         gostart = sa_host[np.repeat(lo, counts) + tx].astype(np.int32)
         if fwd:
+            ni, g_p, sl_p, el_p, st_p = pad_items(
+                gostart, sl_all[item_pat].astype(np.int32),
+                el_all[item_pat].astype(np.int32),
+                stok_all[item_pat].astype(np.int32))
             valid, length = _fwd_batch(
                 index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-                index.device_query_tokens(queries), jnp.asarray(gostart),
-                jnp.asarray(sl_all[item_pat].astype(np.int32)),
-                jnp.asarray(el_all[item_pat].astype(np.int32)),
-                jnp.asarray(stok_all[item_pat].astype(np.int32)), mrs, mgs)
-            valid = np.asarray(valid)
-            length = np.asarray(length)
+                index.device_query_tokens(queries), jnp.asarray(g_p),
+                jnp.asarray(sl_p), jnp.asarray(el_p), jnp.asarray(st_p),
+                mrs, mgs)
+            valid = np.asarray(valid)[:ni]
+            length = np.asarray(length)[:ni]
             ii, mm = np.nonzero(valid)
             if len(ii):
                 rows_parts.append(np.stack([
                     item_pat[ii], gostart[ii].astype(np.int64),
                     length[ii, mm].astype(np.int64)], axis=1))
         else:
+            ni, g_p, sl_p, el_p, tk_p = pad_items(
+                gostart, sl_all[item_pat].astype(np.int32),
+                el_all[item_pat].astype(np.int32),
+                tok_all[item_pat].astype(np.int32))
             valid, spos, length = _bwd_batch(
                 index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-                index.device_query_tokens(queries), jnp.asarray(gostart),
-                jnp.asarray(sl_all[item_pat].astype(np.int32)),
-                jnp.asarray(el_all[item_pat].astype(np.int32)),
-                jnp.asarray(tok_all[item_pat].astype(np.int32)), mrs, mgs)
-            valid = np.asarray(valid)
+                index.device_query_tokens(queries), jnp.asarray(g_p),
+                jnp.asarray(sl_p), jnp.asarray(el_p), jnp.asarray(tk_p),
+                mrs, mgs)
+            valid = np.asarray(valid)[:ni]
             ii, mm = np.nonzero(valid)
             if len(ii):
                 rows_parts.append(np.stack([
-                    item_pat[ii], np.asarray(spos)[ii, mm].astype(np.int64),
-                    np.asarray(length)[ii, mm].astype(np.int64)], axis=1))
+                    item_pat[ii], np.asarray(spos)[:ni][ii, mm].astype(np.int64),
+                    np.asarray(length)[:ni][ii, mm].astype(np.int64)], axis=1))
 
     if rows_parts:
         rows = np.concatenate(rows_parts, axis=0)
@@ -387,14 +398,15 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
     if not item_two:
         out = GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
         return out
+    ni, ps_p, pl_p, st_p = pad_items(
+        np.asarray(item_pstart, np.int32), np.asarray(item_plen, np.int32),
+        np.asarray(item_stok, np.int32))
     valid, length2 = _two_batch(
         index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-        index.device_query_tokens(queries),
-        jnp.asarray(np.asarray(item_pstart, np.int32)),
-        jnp.asarray(np.asarray(item_plen, np.int32)),
-        jnp.asarray(np.asarray(item_stok, np.int32)), mrs, mgs)
-    valid = np.asarray(valid)
-    length2 = np.asarray(length2)
+        index.device_query_tokens(queries), jnp.asarray(ps_p),
+        jnp.asarray(pl_p), jnp.asarray(st_p), mrs, mgs)
+    valid = np.asarray(valid)[:ni]
+    length2 = np.asarray(length2)[:ni]
     ii, mm = np.nonzero(valid)
     item_two = np.asarray(item_two, dtype=np.int64)
     item_pstart = np.asarray(item_pstart, dtype=np.int64)

@@ -22,13 +22,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from cgx_tpu.types import SEP, Pass1Result, Pass2Result
+from cgx_tpu.utils import batching
 
 QPAD = 8  # guarded out-of-range query reads return -2 (never matches anything)
 
 
 def pad_query_tokens(tokens: np.ndarray) -> np.ndarray:
-    return np.concatenate([tokens.astype(np.int32),
-                           np.full(QPAD, -2, dtype=np.int32)])
+    # bucket-padded so the device program shape is stable across query sets
+    return batching.pad_tokens(
+        np.concatenate([tokens.astype(np.int32),
+                        np.full(QPAD, -2, dtype=np.int32)]), np.int32(-2))
 
 
 def pad_refstr(refstr: np.ndarray, qry_max: int) -> np.ndarray:
@@ -233,14 +236,15 @@ def pass1_tpu(index, queries) -> Pass1Result:
                     dtype=np.int32)
     toks = np.arange(n, dtype=np.int32)
     suffixlens = ends - toks
+    _, toks_p, sufl_p = batching.pad_items(toks, suffixlens)
     lm, up, down, ffh, ffl, ffr = _pass1_batch(
         index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
-        index.device_query_tokens(queries), jnp.asarray(toks),
-        jnp.asarray(suffixlens), index.reflen)
+        index.device_query_tokens(queries), jnp.asarray(toks_p),
+        jnp.asarray(sufl_p), index.reflen)
     return Pass1Result(
-        up=np.asarray(up), down=np.asarray(down),
-        firstfindhit=np.asarray(ffh), firstfindhitL=np.asarray(ffl),
-        firstfindhitR=np.asarray(ffr), longestmatch=np.asarray(lm))
+        up=np.asarray(up)[:n], down=np.asarray(down)[:n],
+        firstfindhit=np.asarray(ffh)[:n], firstfindhitL=np.asarray(ffl)[:n],
+        firstfindhitR=np.asarray(ffr)[:n], longestmatch=np.asarray(lm)[:n])
 
 
 def pass2_tpu(index, queries, p1: Pass1Result) -> Pass2Result:
@@ -262,13 +266,14 @@ def pass2_tpu(index, queries, p1: Pass1Result) -> Pass2Result:
     if total == 0:
         return Pass2Result(connectoffset=connectoffset,
                            up=np.empty(0, np.int32), down=np.empty(0, np.int32))
+    _, toks_p, matches_p, LLs_p, MMs_p, RRs_p = batching.pad_items(
+        np.asarray(toks, np.int32), np.asarray(matches, np.int32),
+        np.asarray(LLs, np.int32), np.asarray(MMs, np.int32),
+        np.asarray(RRs, np.int32))
     up, down = _pass2_batch(
         index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
-        index.device_query_tokens(queries),
-        jnp.asarray(np.asarray(toks, np.int32)),
-        jnp.asarray(np.asarray(matches, np.int32)),
-        jnp.asarray(np.asarray(LLs, np.int32)),
-        jnp.asarray(np.asarray(MMs, np.int32)),
-        jnp.asarray(np.asarray(RRs, np.int32)))
+        index.device_query_tokens(queries), jnp.asarray(toks_p),
+        jnp.asarray(matches_p), jnp.asarray(LLs_p), jnp.asarray(MMs_p),
+        jnp.asarray(RRs_p))
     return Pass2Result(connectoffset=connectoffset,
-                       up=np.asarray(up), down=np.asarray(down))
+                       up=np.asarray(up)[:total], down=np.asarray(down)[:total])

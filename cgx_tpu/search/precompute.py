@@ -20,6 +20,7 @@ from cgx_tpu.preproc.corpus import SourceCorpus
 from cgx_tpu.preproc.suffix_array import SAIndex
 from cgx_tpu.search.lookup import MMOV, _gap_check, _prefix_ok
 from cgx_tpu.types import Precomp
+from cgx_tpu.utils.batching import pad_items
 
 
 def _fwd_item(refstr, rlp, l_tar, r_tar, mrs, mgs, gostart, tok_b):
@@ -127,18 +128,21 @@ def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
         other = np.repeat(np.where(fwd, tokens[jj], tokens[cc])[mask],
                           occ_count[mask]).astype(np.int32)
         fn = _fwd_batch if fwd else _bwd_batch
+        ni, g_p, o_p = pad_items(gostart, other)
         valid, miss, start, length = fn(
             index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-            jnp.asarray(gostart), jnp.asarray(other), mrs, mgs)
-        valid = np.asarray(valid)
-        miss = np.asarray(miss)
+            jnp.asarray(g_p), jnp.asarray(o_p), mrs, mgs)
+        valid = np.asarray(valid)[:ni]
+        miss = np.asarray(miss)[:ni]
+        start = np.asarray(start)[:ni]
+        length = np.asarray(length)[:ni]
         mi, _ = np.nonzero(miss)
         np.add.at(missing, cell_ids[mi], 1)
         ii, mm = np.nonzero(valid)
         if len(ii):
             rows_parts.append(np.stack([
-                cell_ids[ii], np.asarray(start)[ii, mm].astype(np.int64),
-                np.asarray(length)[ii, mm].astype(np.int64)], axis=1))
+                cell_ids[ii], start[ii, mm].astype(np.int64),
+                length[ii, mm].astype(np.int64)], axis=1))
 
     if rows_parts:
         rows = np.concatenate(rows_parts, axis=0)

@@ -44,7 +44,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", choices=list(SIZES), default="small")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from cgx_tpu.config import DEFAULT_CONFIG
     from cgx_tpu import pipeline as tpl

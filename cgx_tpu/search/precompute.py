@@ -1,11 +1,21 @@
 """TPU frequent-pair precomputation.
 
-Vectorized transcription of the precomp kernel (GappyLook.cu:740-869) and its host
-driver (SuffixArray.cu:1132-1340): pick the top-P most frequent source tokens (SA-run
-lengths), then for every (a, b) cell scan the rarer token's occurrences for a..X..b
-cooccurrences within max_rule_span that pass the target-side gap-consistency check;
-failures are tallied per cell in feature_missing (used by the fsample correction at
-ExtractPair.c:899-908)."""
+TPU-native reformulation of the precomp kernel (GappyLook.cu:740-869) + host driver
+(SuffixArray.cu:1132-1340).  The reference scans, for every (a, b) cell of the top-P
+frequent tokens, the rarer token's occurrences — re-reading each occurrence up to P
+times.  Here every occurrence of a top token is scanned **once** per direction; each
+move yields at most one partner token, and cell membership/ownership is resolved on
+the host with a binary search into the sorted top list:
+
+* forward scan from an occurrence of ``a``: partner ``b = str[pos]`` owns cell
+  (a, b) iff count(b) >= count(a)  (the reference's ``reverse`` rule,
+  SuffixArray.cu:1203-1215);
+* backward scan from an occurrence of ``b``: partner ``a`` owns cell (a, b) iff
+  count(a) > count(b).
+
+Gap-consistency failures are tallied per cell in ``feature_missing``
+(ExtractPair.c:899-908 correction).  Emissions are identical to the reference's
+per-cell scans; tests enforce bit-equality with the sequential oracle."""
 
 from __future__ import annotations
 
@@ -23,25 +33,24 @@ from cgx_tpu.types import Precomp
 from cgx_tpu.utils.batching import pad_items
 
 
-def _fwd_item(refstr, rlp, l_tar, r_tar, mrs, mgs, gostart, tok_b):
+def _fwd_item(refstr, rlp, l_tar, r_tar, mrs, mgs, gostart):
+    """Forward scan: all (move) candidates with their partner token and gap check
+    (GappyLook.cu:787-822, per-cell token test hoisted to the host)."""
     moves = jnp.arange(MMOV, dtype=jnp.int32)
     gap0_bad = refstr[gostart + mgs] < 2
     pos = gostart + 1 + mgs + moves
     temp = refstr[jnp.minimum(pos, refstr.shape[0] - 1)]
     bad = temp < 2
     span_ok = 1 + mgs + moves + 1 <= mrs
-    reach = _prefix_ok(~bad) & span_ok & ~gap0_bad
-    cand = reach & ~bad & (temp == tok_b)
+    scan_ok = _prefix_ok(~bad) & span_ok & ~gap0_bad & ~bad
     gc = jax.vmap(lambda m: _gap_check(rlp, l_tar, r_tar, gostart + 1,
                                        gostart + m + 1 + mgs - 1, mrs))(moves)
-    valid = cand & gc
-    miss = cand & ~gc
     start = jnp.broadcast_to(gostart, (MMOV,))
     length = moves + 1 + mgs
-    return valid, miss, start, length
+    return scan_ok, temp, gc, start, length
 
 
-def _bwd_item(refstr, rlp, l_tar, r_tar, mrs, mgs, gostart, tok_a):
+def _bwd_item(refstr, rlp, l_tar, r_tar, mrs, mgs, gostart):
     moves = jnp.arange(MMOV, dtype=jnp.int32)
     gap0_bad = (gostart - mgs >= 0) & (refstr[jnp.maximum(gostart - mgs, 0)] < 2)
     pos = gostart - 1 - mgs - moves
@@ -49,28 +58,25 @@ def _bwd_item(refstr, rlp, l_tar, r_tar, mrs, mgs, gostart, tok_a):
     temp = jnp.where(oob, jnp.int32(-1), refstr[jnp.maximum(pos, 0)])
     bad = oob | (temp < 2)
     span_ok = 1 + mgs + moves + 1 <= mrs
-    reach = _prefix_ok(~bad) & span_ok & ~gap0_bad
-    cand = reach & ~bad & (temp == tok_a)
+    scan_ok = _prefix_ok(~bad) & span_ok & ~gap0_bad & ~bad
     gc = jax.vmap(lambda m: _gap_check(rlp, l_tar, r_tar,
                                        gostart - 1 - mgs - m + 1,
                                        gostart - 1, mrs))(moves)
-    valid = cand & gc
-    miss = cand & ~gc
     start = pos
     length = moves + 1 + mgs
-    return valid, miss, start, length
+    return scan_ok, temp, gc, start, length
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
-def _fwd_batch(refstr, rlp, l_tar, r_tar, gostart, tok_b, mrs, mgs):
+def _fwd_batch(refstr, rlp, l_tar, r_tar, gostart, mrs, mgs):
     f = functools.partial(_fwd_item, refstr, rlp, l_tar, r_tar, mrs, mgs)
-    return jax.vmap(f)(gostart, tok_b)
+    return jax.vmap(f)(gostart)
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
-def _bwd_batch(refstr, rlp, l_tar, r_tar, gostart, tok_a, mrs, mgs):
+def _bwd_batch(refstr, rlp, l_tar, r_tar, gostart, mrs, mgs):
     f = functools.partial(_bwd_item, refstr, rlp, l_tar, r_tar, mrs, mgs)
-    return jax.vmap(f)(gostart, tok_a)
+    return jax.vmap(f)(gostart)
 
 
 def top_tokens(source: SourceCorpus, sa: SAIndex, cfg: ExtractorConfig):
@@ -100,49 +106,44 @@ def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
     mrs, mgs = cfg.max_rule_span, cfg.min_gap_size
     sa_host = np.asarray(sa.sa)
 
-    # cell item lists (occurrences of the rarer side)
-    cc, jj = np.meshgrid(np.arange(P), np.arange(P), indexing="ij")
-    cc, jj = cc.ravel(), jj.ravel()
-    reverse = counts[jj] >= counts[cc]
-    side = np.where(reverse, cc, jj)
-    occ_count = counts[side]
-    occ_start = run_start[side]
-    cells = cc * P + jj
-
-    def batch_items(mask):
-        n = occ_count[mask]
-        cell_ids = np.repeat(cells[mask], n)
-        offs = np.concatenate([[0], np.cumsum(n)])[:-1]
-        tx = np.arange(n.sum()) - np.repeat(offs, n)
-        sa_idx = np.repeat(occ_start[mask], n) + tx
-        gostart = sa_host[sa_idx].astype(np.int32)
-        return cell_ids, gostart
+    # every occurrence of every top token, once
+    tok_idx = np.repeat(np.arange(P), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    tx = np.arange(int(counts.sum())) - np.repeat(offs, counts)
+    gostart = sa_host[np.repeat(run_start, counts) + tx].astype(np.int32)
 
     rows_parts = []
     missing = np.zeros(P * P, dtype=np.int32)
     for fwd in (True, False):
-        mask = reverse == fwd
-        cell_ids, gostart = batch_items(mask)
-        if len(cell_ids) == 0:
-            continue
-        other = np.repeat(np.where(fwd, tokens[jj], tokens[cc])[mask],
-                          occ_count[mask]).astype(np.int32)
         fn = _fwd_batch if fwd else _bwd_batch
-        ni, g_p, o_p = pad_items(gostart, other)
-        valid, miss, start, length = fn(
+        ni, g_p = pad_items(gostart)
+        scan_ok, temp, gc, start, length = fn(
             index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-            jnp.asarray(g_p), jnp.asarray(o_p), mrs, mgs)
-        valid = np.asarray(valid)[:ni]
-        miss = np.asarray(miss)[:ni]
+            jnp.asarray(g_p), mrs, mgs)
+        scan_ok = np.asarray(scan_ok)[:ni]
+        temp = np.asarray(temp)[:ni]
+        gc = np.asarray(gc)[:ni]
         start = np.asarray(start)[:ni]
         length = np.asarray(length)[:ni]
-        mi, _ = np.nonzero(miss)
-        np.add.at(missing, cell_ids[mi], 1)
-        ii, mm = np.nonzero(valid)
-        if len(ii):
+        ii, mm = np.nonzero(scan_ok)
+        partners = temp[ii, mm]
+        ib = np.searchsorted(tokens, partners)
+        member = (ib < P) & (tokens[np.minimum(ib, P - 1)] == partners)
+        my = tok_idx[ii]
+        cnt_p = counts[np.minimum(ib, P - 1)]
+        if fwd:
+            owns = member & (cnt_p >= counts[my])
+            cell = my * P + ib
+        else:
+            owns = member & (cnt_p > counts[my])
+            cell = ib * P + my
+        hit = owns & gc[ii, mm]
+        miss = owns & ~gc[ii, mm]
+        np.add.at(missing, cell[miss], 1)
+        if hit.any():
             rows_parts.append(np.stack([
-                cell_ids[ii], start[ii, mm].astype(np.int64),
-                length[ii, mm].astype(np.int64)], axis=1))
+                cell[hit], start[ii, mm][hit].astype(np.int64),
+                length[ii, mm][hit].astype(np.int64)], axis=1))
 
     if rows_parts:
         rows = np.concatenate(rows_parts, axis=0)

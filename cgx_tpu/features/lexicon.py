@@ -317,3 +317,294 @@ def updown_index(rules, total_ids: int) -> np.ndarray:
             out[b, 0] = i
         out[b, 1] = i
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vectorized lexicon build (production path).
+#
+# Same observable semantics as the create_lexicon_* loops above (the oracle spec):
+# dedup is by the rendered rule string, which is equivalent to a numeric key of the
+# target token sequence with each gap span collapsed to a single marker (-1 for
+# [X,1], -3 for [X,2]) plus the converted rule id (group boundaries are id
+# boundaries).  Counts/fsample/feature plumbing identical; strings are built only
+# for distinct rules.  tests/test_fast_host.py enforces equality with the slow spec.
+# ---------------------------------------------------------------------------
+
+KEYW = 16  # max rendered target symbols (span < max_rule_span)
+
+
+def _target_key_rows(tgt_str, ts, te, g1s=None, g1e=None, g2s=None, g2e=None):
+    """[n, KEYW] numeric rendering keys; gaps collapse to one marker."""
+    n = len(ts)
+    offs = np.arange(KEYW, dtype=np.int64)
+    pos = ts[:, None] + offs[None, :]
+    valid = pos <= te[:, None]
+    if g1s is None:
+        g1s = np.full(n, -10, dtype=np.int64)
+        g1e = np.full(n, -10, dtype=np.int64)
+    if g2s is None:
+        g2s = np.full(n, -10, dtype=np.int64)
+        g2e = np.full(n, -10, dtype=np.int64)
+    in1 = (pos >= g1s[:, None]) & (pos <= g1e[:, None])
+    in2 = (pos >= g2s[:, None]) & (pos <= g2e[:, None])
+    drop1 = np.where(pos > g1e[:, None], (g1e - g1s)[:, None], 0)
+    drop2 = np.where(pos > g2e[:, None], (g2e - g2s)[:, None], 0)
+    out_idx = (pos - ts[:, None]) - np.maximum(drop1, 0) - np.maximum(drop2, 0)
+    emit = valid & (~(in1 | in2) | (pos == g1s[:, None]) | (pos == g2s[:, None]))
+    tok = tgt_str[np.clip(pos, 0, len(tgt_str) - 1)].astype(np.int64)
+    sym = np.where(in1, -1, np.where(in2, -3, tok))
+    key = np.full((n, KEYW + 1), -2, dtype=np.int64)
+    oi = np.where(emit, np.clip(out_idx, 0, KEYW - 1), KEYW)
+    np.put_along_axis(key, oi, np.where(emit, sym, -2), axis=1)
+    return key[:, :KEYW]
+
+
+def _dedup(cid, key_rows):
+    """Group+dedup by (cid, key); returns (uniq_first_idx sorted by appearance,
+    inverse mapping instance->distinct, counts)."""
+    full = np.concatenate([cid[:, None], key_rows], axis=1)
+    _, first, inv, counts = np.unique(full, axis=0, return_index=True,
+                                      return_inverse=True, return_counts=True)
+    order = np.argsort(first, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return first[order], rank[inv.ravel()], counts[order]
+
+
+def _render_target(target: TargetCorpus, key_row) -> str:
+    parts = []
+    for v in key_row:
+        if v == -2:
+            break
+        if v == -1:
+            parts.append(X1)
+        elif v == -3:
+            parts.append(X2)
+        else:
+            parts.append(target.vocab.id_to_word[int(v)])
+    return " ".join(parts)
+
+
+def _finalize_fast(cids, first_idx, counts, fsample_arr, fsample_of, lex_of,
+                   task_of, cfg, tasks, kind):
+    rules = []
+    for d in range(len(first_idx)):
+        i = int(first_idx[d])
+        cid = int(cids[i])
+        fs = fsample_of(i, cid)
+        if cfg.is_sample and fs > cfg.sampler:
+            fs = cfg.sampler
+        tasks.append(task_of(i, d))
+        rules.append(FastSpeed(
+            blocknumber=cid, lexical=lex_of(i), fsample=fs,
+            fsample_score=_fsample_score(fs), f=int(fsample_arr[cid]),
+            paircount=int(counts[d])))
+    _finish_aa_bb(rules)
+    return rules
+
+
+def fast_create_lexicon_contig(contig: ContigRules, source: SourceCorpus,
+                               target: TargetCorpus, blocks: Blocks,
+                               cfg: ExtractorConfig, tasks: list):
+    """Vectorized createLexiconFast (ExtractPair.c:515-662)."""
+    G = len(blocks.start)
+    n = len(contig.blocknumber)
+    if n == 0:
+        return []
+    cid = contig.blocknumber.astype(np.int64)
+    fsample_arr = np.bincount(cid, minlength=G)
+    ts = contig.tar_start.astype(np.int64)
+    te = ts + contig.tar_end.astype(np.int64)
+    keys = _target_key_rows(np.asarray(target.str_), ts, te)
+    first_idx, inv, counts = _dedup(cid, keys)
+    src_names = {}
+
+    def lex_of(i):
+        b = int(cid[i])
+        if b not in src_names:
+            src_names[b] = _source_name(source, blocks, b)
+        return (src_names[b] + " ||| "
+                + _render_target(target, keys[i]))
+
+    def fsample_of(i, c):
+        return 1 + int(blocks.end[c]) - int(blocks.start[c])
+
+    def task_of(i, d):
+        b = int(cid[i])
+        ss = int(blocks.string_start[b])
+        ml = int(blocks.matchlen[b])
+        return LexTask(fast_speed_id=d,
+                       source_pattern=[int(source.str_[ss + k]) for k in range(ml)],
+                       target_start=int(ts[i]), end=int(contig.tar_end[i]),
+                       kind="contig")
+
+    return _finalize_fast(cid, first_idx, counts, fsample_arr, fsample_of,
+                          lex_of, task_of, cfg, tasks, "contig")
+
+
+def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
+                               target: TargetCorpus, blocks: Blocks,
+                               search1: OneGapSearch, enum1: OneGapEnum,
+                               onegap_sa: GapOnSA, pc: Precomp, separator: int,
+                               cfg: ExtractorConfig, tasks: list):
+    """Vectorized createLexiconGappyFast (ExtractPair.c:664-936)."""
+    G = len(blocks.start)
+    D1 = len(search1.qrystart)
+    n = len(rules1.gappy_index)
+    if n == 0:
+        return []
+    gi = rules1.gappy_index.astype(np.int64)
+    seg2 = np.arange(n) >= separator
+    cid = np.where(seg2, 2 * G + gi, gi)
+    fsample_arr = np.bincount(cid, minlength=2 * G + D1)
+    ts = rules1.ref_str_start.astype(np.int64)
+    te = ts + rules1.end.astype(np.int64)
+    g1s = ts + rules1.gap1.astype(np.int64)
+    g1e = ts + rules1.gap1_1.astype(np.int64)
+    keys = _target_key_rows(np.asarray(target.str_), ts, te, g1s, g1e)
+    first_idx, inv, counts = _dedup(cid, keys)
+    src_cache = {}
+
+    def src_of(i):
+        c = int(cid[i])
+        if c not in src_cache:
+            if not seg2[i]:
+                if c < G:
+                    src_cache[c] = (X1 + " " + _source_name(source, blocks, c),
+                                    _block_ids(source, blocks, c))
+                else:
+                    src_cache[c] = (_source_name(source, blocks, c - G) + " " + X1,
+                                    _block_ids(source, blocks, c - G))
+            else:
+                s, ids = _onegap_source(search1, enum1, int(gi[i]), source)
+                src_cache[c] = (s, ids)
+        return src_cache[c]
+
+    def lex_of(i):
+        return src_of(i)[0] + " ||| " + _render_target(target, keys[i])
+
+    def fsample_of(i, c):
+        if not seg2[i]:
+            base = c if c < G else c - G
+            return 1 + int(blocks.end[base]) - int(blocks.start[base])
+        oid = int(gi[i])
+        fs = 1 + int(search1.end_on_salist[oid]) - int(search1.start_on_salist[oid])
+        if fs == 1 and int(onegap_sa.length[int(search1.start_on_salist[oid])]) == 0:
+            pci = int(onegap_sa.str_position[int(search1.start_on_salist[oid])])
+            fs = (1 - int(pc.index_start[pci]) + int(pc.index_end[pci])
+                  + int(pc.feature_missing[pci]))
+        return fs
+
+    def task_of(i, d):
+        return LexTask(fast_speed_id=d, source_pattern=list(src_of(i)[1]),
+                       target_start=int(ts[i]), end=int(rules1.end[i]),
+                       gap1=int(rules1.gap1[i]), gap1_1=int(rules1.gap1_1[i]),
+                       kind="onegap")
+
+    return _finalize_fast(cid, first_idx, counts, fsample_arr, fsample_of,
+                          lex_of, task_of, cfg, tasks, "onegap")
+
+
+def _block_ids(source, blocks, b):
+    ss = int(blocks.string_start[b])
+    ml = int(blocks.matchlen[b])
+    return [int(source.str_[ss + k]) for k in range(ml)]
+
+
+def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
+                               target: TargetCorpus, blocks: Blocks,
+                               search1: OneGapSearch, enum1: OneGapEnum,
+                               search2: TwoGapSearch, enum2: TwoGapEnum,
+                               onegap_sa: GapOnSA, pc: Precomp,
+                               sep1: int, sep2: int,
+                               cfg: ExtractorConfig, tasks: list):
+    """Vectorized createLexiconTwoGapFast (ExtractPair.c:939-1276)."""
+    G = len(blocks.start)
+    D1 = len(search1.qrystart)
+    D2 = len(search2.blockid)
+    n = len(rules2.gappy_index)
+    if n == 0:
+        return []
+    gi = rules2.gappy_index.astype(np.int64)
+    idx = np.arange(n)
+    cid = np.where(idx < sep1, gi,
+                   np.where(idx < sep2, G + gi, G + D2 + gi))
+    fsample_arr = np.bincount(cid, minlength=G + 2 * D1 + D2)
+    ts = rules2.ref_str_start.astype(np.int64)
+    te = ts + rules2.end.astype(np.int64)
+    g1s = ts + rules2.gap1.astype(np.int64)
+    g1e = ts + rules2.gap1_1.astype(np.int64)
+    g2s = ts + rules2.gap2.astype(np.int64)
+    g2e = ts + rules2.gap2_1.astype(np.int64)
+    keys = _target_key_rows(np.asarray(target.str_), ts, te, g1s, g1e, g2s, g2e)
+    first_idx, inv, counts = _dedup(cid, keys)
+    src_cache = {}
+
+    def src_of(i):
+        c = int(cid[i])
+        if c in src_cache:
+            return src_cache[c]
+        g = int(gi[i])
+        if i < sep1:  # XabX
+            s = X1 + " " + _source_name(source, blocks, g) + " " + X2
+            ids = _block_ids(source, blocks, g)
+        elif i < sep2:  # aXbXc
+            one_id = int(search2.blockid[g])
+            s0, ids = _onegap_source(search1, enum1, one_id, source)
+            ids = list(ids)
+            pos2 = int(search2.position[g])
+            num2 = int(enum2.number[pos2])
+            tail = []
+            for jj in range(num2):
+                pv = int(enum2.pattern[pos2][jj])
+                ids.append(pv)
+                tail.append(source.vocab.id_to_word[pv])
+            s = s0 + " " + X2 + " " + " ".join(tail)
+        else:  # XaXb / aXbX
+            xaxb = g < D1
+            one_id = g if xaxb else g - D1
+            pos = int(search1.position[one_id])
+            number = int(enum1.number[pos])
+            pat = enum1.pattern[pos]
+            parts = [X1] if xaxb else []
+            ids = []
+            for jj in range(number):
+                pv = int(pat[jj])
+                if pv >= 0:
+                    ids.append(pv)
+                    parts.append(source.vocab.id_to_word[pv])
+                else:
+                    parts.append(X2 if xaxb else X1)
+            if not xaxb:
+                parts.append(X2)
+            s = " ".join(parts)
+        src_cache[c] = (s, ids)
+        return src_cache[c]
+
+    def lex_of(i):
+        return src_of(i)[0] + " ||| " + _render_target(target, keys[i])
+
+    def fsample_of(i, c):
+        g = int(gi[i])
+        if i < sep1:
+            return 1 + int(blocks.end[g]) - int(blocks.start[g])
+        if i < sep2:
+            return (1 + int(search2.end_on_salist[g])
+                    - int(search2.start_on_salist[g]))
+        rid = g - D1 if g >= D1 else g
+        fs = 1 + int(search1.end_on_salist[rid]) - int(search1.start_on_salist[rid])
+        if fs == 1 and int(onegap_sa.length[int(search1.start_on_salist[rid])]) == 0:
+            pci = int(onegap_sa.str_position[int(search1.start_on_salist[rid])])
+            fs = (1 - int(pc.index_start[pci]) + int(pc.index_end[pci])
+                  + int(pc.feature_missing[pci]))
+        return fs
+
+    def task_of(i, d):
+        return LexTask(fast_speed_id=d, source_pattern=list(src_of(i)[1]),
+                       target_start=int(ts[i]), end=int(rules2.end[i]),
+                       gap1=int(rules2.gap1[i]), gap1_1=int(rules2.gap1_1[i]),
+                       gap2=int(rules2.gap2[i]), gap2_1=int(rules2.gap2_1[i]),
+                       kind="twogap")
+
+    return _finalize_fast(cid, first_idx, counts, fsample_arr, fsample_of,
+                          lex_of, task_of, cfg, tasks, "twogap")

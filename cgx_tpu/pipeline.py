@@ -101,15 +101,16 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
 
     with t.phase("lexicon"):
         tasks: list = []
-        rules_one = lx.create_lexicon_onegap(rules1, source, target, blocks,
-                                             search1, enum1, onegap_sa, pc,
-                                             sep_onegap, cfg, tasks)
-        rules_two = lx.create_lexicon_twogap(rules2, source, target, blocks,
-                                             search1, enum1, search2, enum2,
-                                             onegap_sa, pc, sep1, sep2, cfg,
-                                             tasks)
-        rules_contig = lx.create_lexicon_contig(contig, source, target, blocks,
-                                                cfg, tasks)
+        rules_one = lx.fast_create_lexicon_onegap(rules1, source, target,
+                                                  blocks, search1, enum1,
+                                                  onegap_sa, pc, sep_onegap,
+                                                  cfg, tasks)
+        rules_two = lx.fast_create_lexicon_twogap(rules2, source, target,
+                                                  blocks, search1, enum1,
+                                                  search2, enum2, onegap_sa,
+                                                  pc, sep1, sep2, cfg, tasks)
+        rules_contig = lx.fast_create_lexicon_contig(contig, source, target,
+                                                     blocks, cfg, tasks)
     with t.phase("maxlex"):
         ml.compute_maxlex_tpu(tasks, index, rules_one, rules_two, rules_contig,
                               cfg)

@@ -31,6 +31,7 @@ from cgx_tpu.features import lexicon as lx
 from cgx_tpu.features import maxlex as ml
 from cgx_tpu.grammar import writer as gw
 from cgx_tpu.oracle import search as ose
+from cgx_tpu.search import enumerate_fast as ef
 from cgx_tpu.types import GapRules
 from cgx_tpu.utils.timing import PhaseTimer
 
@@ -72,14 +73,15 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     with t.phase("kernel2"):
         p2 = passes.pass2_tpu(index, queries, p1)
     with t.phase("enumeration"):
-        enum1, search1 = ose.sort_and_dedup_onegap(
-            ose.one_gap_enumeration(queries, p1, cfg), queries)
+        enum1, search1 = ef.fast_sort_and_dedup_onegap(
+            ef.fast_one_gap_enumeration(queries, p1, cfg), queries)
     with t.phase("lookup1"):
         onegap_sa = lookup.one_gap_lookup_tpu(index, sa_host, queries, p1, p2,
                                               search1, pc, cfg)
     with t.phase("enumeration"):
-        enum2, search2 = ose.sort_and_dedup_twogap(
-            ose.two_gap_enumeration(queries, p1, enum1, search1, cfg), queries)
+        enum2, search2 = ef.fast_sort_and_dedup_twogap(
+            ef.fast_two_gap_enumeration(queries, p1, enum1, search1, cfg),
+            queries)
     with t.phase("lookup2"):
         twogap_sa = lookup.two_gap_lookup_tpu(index, queries, search1,
                                               onegap_sa, search2, pc, cfg)

@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", dest="fingerlen", type=int, default=10)
     p.add_argument("-s", dest="timefile", default=None)
     p.add_argument("--engine", choices=["tpu", "oracle"], default="tpu")
+    p.add_argument("--index-dir", default=None,
+                   help="persisted corpus-index dir (built on first use)")
     p.add_argument("--no-sample", action="store_true",
                    help="disable occurrence sampling (grammar.<i>.n outputs)")
     p.add_argument("reffile")
@@ -58,7 +60,8 @@ def main(argv=None) -> int:
     else:
         from cgx_tpu.pipeline import run_pipeline_files
         run_pipeline_files(args.reffile, args.qryfile, args.reftargetfile,
-                           args.alignfile, args.lexfile, args.dest_dir, cfg)
+                           args.alignfile, args.lexfile, args.dest_dir, cfg,
+                           index_dir=args.index_dir)
     wall = time.perf_counter() - t0
     print(f"total: {wall:.3f}s", file=sys.stderr)
     if args.timefile:

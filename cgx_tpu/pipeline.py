@@ -33,6 +33,7 @@ from cgx_tpu.grammar import writer as gw
 from cgx_tpu.oracle import search as ose
 from cgx_tpu.search import enumerate_fast as ef
 from cgx_tpu.types import GapRules
+from cgx_tpu.preproc import index_io
 from cgx_tpu.utils.timing import PhaseTimer
 
 
@@ -49,25 +50,50 @@ class PipelineResult:
     timing: PhaseTimer
 
 
-def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
-                 cfg: ExtractorConfig = DEFAULT_CONFIG,
-                 timing: PhaseTimer = None) -> PipelineResult:
+def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
+                   cfg: ExtractorConfig = DEFAULT_CONFIG,
+                   timing: PhaseTimer = None, index_dir: str = None):
+    """One-time corpus preprocessing -> (artifact, device GrammarIndex).
+    With ``index_dir``, loads a previously persisted artifact when present and
+    persists a fresh build otherwise (build-once / query-many)."""
+    import os
     t = timing or PhaseTimer()
+    if index_dir and os.path.exists(os.path.join(index_dir, "meta.json")):
+        with t.phase("indexload"):
+            art, _built_cfg = index_io.load(index_dir)
+        with t.phase("qrysin"):
+            index = ic.build_index(art.source, art.target, art.sa, art.align,
+                                   art.lex, cfg)
+        return art, index, t
     with t.phase("refsin"):
         source = cp.load_source_corpus(f_lines)
         target = cp.load_target_corpus(e_lines)
         align = cp.load_alignment(a_lines, source, target)
         lex = cp.load_lex_table(lex_tokens, source.vocab, target.vocab)
-    with t.phase("qrysload"):
-        queries = cp.load_queries(q_lines, source.vocab)
     with t.phase("suffixarray"):
         sa = sab.build_index(source.str_)
     with t.phase("qrysin"):
         index = ic.build_index(source, target, sa, align, lex, cfg)
-    sa_host = np.asarray(sa.sa)
-
     with t.phase("precompute"):
         pc = pcx.precompute_tpu(index, source, sa, cfg)
+    art = index_io.CorpusIndexArtifact(source=source, target=target,
+                                       align=align, lex=lex, sa=sa, precomp=pc)
+    if index_dir:
+        with t.phase("indexsave"):
+            index_io.save(index_dir, art, cfg)
+    return art, index, t
+
+
+def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
+                 cfg: ExtractorConfig = DEFAULT_CONFIG,
+                 timing: PhaseTimer = None, index_dir: str = None) -> PipelineResult:
+    art, index, t = build_artifact(f_lines, e_lines, a_lines, lex_tokens, cfg,
+                                   timing, index_dir)
+    source, target, align = art.source, art.target, art.align
+    sa, pc = art.sa, art.precomp
+    with t.phase("qrysload"):
+        queries = cp.load_queries(q_lines, source.vocab)
+    sa_host = np.asarray(sa.sa)
     with t.phase("kernel"):
         p1 = passes.pass1_tpu(index, queries)
     with t.phase("kernel2"):
@@ -144,10 +170,12 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
 
 
 def run_pipeline_files(reffile, qryfile, tarfile, alignfile, lexfile, dest_dir,
-                       cfg: ExtractorConfig = DEFAULT_CONFIG):
+                       cfg: ExtractorConfig = DEFAULT_CONFIG,
+                       index_dir: str = None):
     res = run_pipeline(
         cp.read_lines(reffile), cp.read_lines(tarfile), cp.read_lines(alignfile),
-        cp.read_tokens(lexfile), cp.read_lines(qryfile), cfg)
+        cp.read_tokens(lexfile), cp.read_lines(qryfile), cfg,
+        index_dir=index_dir)
     gw.write_grammars(dest_dir, res.queries.qryscount, cfg.is_sample,
                       res.per_query_lines)
     import sys

@@ -56,3 +56,14 @@ def test_precompute_matches_oracle(toy_fixture):
     np.testing.assert_array_equal(pc_t.onegap_length, pc_o.onegap_length)
     np.testing.assert_array_equal(pc_t.feature_missing, pc_o.feature_missing)
     assert pc_t.count == pc_o.count > 0
+
+
+def test_index_artifact_roundtrip(toy_fixture, tmp_path):
+    """Persist + reload the corpus index; query results must be byte-identical."""
+    cfg = ExtractorConfig(precompute_count=30)
+    args = _inputs(toy_fixture)
+    idx_dir = str(tmp_path / "idx")
+    r1 = tpl.run_pipeline(*args, cfg, index_dir=idx_dir)   # builds + saves
+    r2 = tpl.run_pipeline(*args, cfg, index_dir=idx_dir)   # loads
+    assert "indexload" in r2.timing.buckets
+    assert r1.per_query_lines == r2.per_query_lines

@@ -67,3 +67,18 @@ def test_index_artifact_roundtrip(toy_fixture, tmp_path):
     r2 = tpl.run_pipeline(*args, cfg, index_dir=idx_dir)   # loads
     assert "indexload" in r2.timing.buckets
     assert r1.per_query_lines == r2.per_query_lines
+
+
+def test_golden_toy_hashes(toy_fixture):
+    """Freeze the canonical toy grammars: any semantic drift in either engine
+    fails here even if both engines drift together."""
+    import hashlib
+    import json
+    import pathlib
+    golden = json.loads(
+        (pathlib.Path(__file__).parent / "golden_toy_hashes.json").read_text())
+    cfg = ExtractorConfig(precompute_count=golden["precompute_count"])
+    res = tpl.run_pipeline(*_inputs(toy_fixture), cfg)
+    for q, lines in enumerate(res.per_query_lines):
+        h = hashlib.sha256(("\n".join(lines) + "\n").encode()).hexdigest()
+        assert h == golden["sha256"][str(q)], f"query {q} grammar drifted"

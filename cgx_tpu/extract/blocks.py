@@ -79,3 +79,34 @@ def sample_indices(dis: int, sampler: int, is_sample: bool):
             sel.append(togo)
             prev = togo
     return sel
+
+
+def occurrence_lists(lo, hi, sampler, is_sample):
+    """Vectorized sampled-occurrence work lists.
+
+    ``lo``/``hi`` are per-pattern inclusive ranges (-1/-1 or hi < lo = empty);
+    returns (pattern_idx, tx) flat arrays in canonical order (pattern asc, tx asc)
+    with the reference's uniform sampling rule applied per pattern
+    (ExtractPair.cu:1133-1160).  Only over-sample-sized patterns fall back to the
+    per-pattern ``sample_indices`` loop."""
+    lo = np.asarray(lo, dtype=np.int64)
+    hi = np.asarray(hi, dtype=np.int64)
+    dis = np.where((lo >= 0) & (hi >= lo), hi - lo + 1, 0)
+    if is_sample:
+        large = dis > sampler
+        counts = np.where(large, 0, dis)
+        large_ids = np.flatnonzero(large)
+        sels = {int(i): np.asarray(sample_indices(int(dis[i]), sampler, True),
+                                   dtype=np.int64)
+                for i in large_ids}
+        counts[large_ids] = [len(sels[int(i)]) for i in large_ids]
+    else:
+        counts = dis
+        sels = {}
+    total = int(counts.sum())
+    pattern_idx = np.repeat(np.arange(len(dis), dtype=np.int64), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    tx = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+    for i, sel in sels.items():
+        tx[offs[i]:offs[i] + len(sel)] = sel
+    return pattern_idx, tx

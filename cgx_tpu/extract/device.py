@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
-from cgx_tpu.extract.blocks import sample_indices
+from cgx_tpu.extract.blocks import occurrence_lists, sample_indices
 from cgx_tpu.utils.batching import pad_items
 from cgx_tpu.types import Blocks, ContigRules, GapOnSA, GapRules, OneGapSearch, Precomp, TwoGapSearch
 
@@ -313,17 +313,11 @@ def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig):
     """Host orchestration for extractConsistentPairs_Gappy: sampled occurrence
     list -> device batch -> canonical compaction + stable id sort."""
     G = len(blocks.start)
-    bnums, sa_pos, lms = [], [], []
-    for bnum in range(G):
-        b0, b1 = int(blocks.start[bnum]), int(blocks.end[bnum])
-        lm = int(blocks.matchlen[bnum])
-        if lm < 1:
-            continue
-        for rel in sample_indices(b1 - b0 + 1, cfg.sampler, cfg.is_sample):
-            bnums.append(bnum)
-            sa_pos.append(b0 + rel)
-            lms.append(lm)
-    bnums = np.asarray(bnums, dtype=np.int64)
+    lo = np.where(blocks.matchlen >= 1, blocks.start, 0)
+    hi = np.where(blocks.matchlen >= 1, blocks.end, -1)
+    bnums, tx = occurrence_lists(lo, hi, cfg.sampler, cfg.is_sample)
+    sa_pos = blocks.start.astype(np.int64)[bnums] + tx
+    lms = blocks.matchlen.astype(np.int64)[bnums]
     if len(bnums) == 0:
         empty = GapRules(*(np.empty(0, np.int32) for _ in range(7)))
         return (ContigRules(*(np.empty(0, np.int32) for _ in range(3))),
@@ -521,35 +515,47 @@ def _onegap_batch(refstr, rlp, l_tar, r_tar, cs, first_end, sl, el, mrs, msym):
     return jax.vmap(f)(cs, first_end, sl, el)
 
 
+def _onegap_occurrences(search1, onegap_sa, pc, sampler, is_sample):
+    """Per-pattern occurrence expansion with precomp-cell redirection."""
+    lo0 = search1.start_on_salist.astype(np.int64)
+    hi0 = search1.end_on_salist.astype(np.int64)
+    has = lo0 >= 0
+    loc = np.clip(lo0, 0, max(len(onegap_sa.length) - 1, 0))
+    if len(onegap_sa.length):
+        pcmode = has & (hi0 == lo0) & (onegap_sa.length[loc] == 0)
+        pci = onegap_sa.str_position[loc].astype(np.int64)
+    else:
+        pcmode = np.zeros_like(has)
+        pci = np.zeros_like(lo0)
+    pcic = np.clip(pci, 0, len(pc.index_start) - 1)
+    lo = np.where(pcmode, pc.index_start[pcic], lo0)
+    hi = np.where(pcmode, pc.index_end[pcic], hi0)
+    lo = np.where(has, lo, -1)
+    hi = np.where(has, hi, -2)
+    ids, tx = occurrence_lists(lo, hi, sampler, is_sample)
+    row = lo[ids] + tx
+    pcm = pcmode[ids]
+    row_sa = np.clip(row, 0, max(len(onegap_sa.length) - 1, 0))
+    row_pc = np.clip(row, 0, max(len(pc.onegap_start) - 1, 0))
+    if len(onegap_sa.length):
+        css = np.where(pcm, pc.onegap_start[row_pc] if len(pc.onegap_start)
+                       else 0, onegap_sa.str_position[row_sa])
+        fes = np.where(pcm, pc.onegap_length[row_pc] if len(pc.onegap_length)
+                       else 0, onegap_sa.length[row_sa])
+    else:
+        css = pc.onegap_start[row_pc]
+        fes = pc.onegap_length[row_pc]
+    return ids, css.astype(np.int64), fes.astype(np.int64)
+
+
 def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
                        pc: Precomp, cfg: ExtractorConfig):
     D1 = len(search1.qrystart)
-    ids, css, fes, sls, els = [], [], [], [], []
-    for oneId in range(D1):
-        lo = int(search1.start_on_salist[oneId])
-        hi = int(search1.end_on_salist[oneId])
-        if lo == -1 and hi == -1:
-            continue
-        sl = int(search1.qrystart_len[oneId])
-        el = int(search1.qryend_len[oneId])
-        dis = 1 + hi - lo
-        if dis == 1 and int(onegap_sa.length[lo]) == 0:
-            pci = int(onegap_sa.str_position[lo])
-            lo = int(pc.index_start[pci])
-            hi = int(pc.index_end[pci])
-            dis = 1 + hi - lo
-            starts = pc.onegap_start
-            lens = pc.onegap_length
-        else:
-            starts = onegap_sa.str_position
-            lens = onegap_sa.length
-        for tx in sample_indices(dis, cfg.sampler_onegap, cfg.is_sample):
-            ids.append(oneId)
-            css.append(int(starts[lo + tx]))
-            fes.append(int(lens[lo + tx]))
-            sls.append(sl)
-            els.append(el)
-    if not ids:
+    ids, css, fes = _onegap_occurrences(search1, onegap_sa, pc,
+                                        cfg.sampler_onegap, cfg.is_sample)
+    sls = search1.qrystart_len.astype(np.int64)[ids]
+    els = search1.qryend_len.astype(np.int64)[ids]
+    if len(ids) == 0:
         empty = GapRules(*(np.empty(0, np.int32) for _ in range(7)))
         return empty, empty
     ids = np.asarray(ids, dtype=np.int64)
@@ -629,25 +635,17 @@ def _twogap_batch(refstr, rlp, l_tar, r_tar, cs, fe, se, sl, el, cl, mrs):
 def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
                        twogap_sa: GapOnSA, cfg: ExtractorConfig) -> GapRules:
     D2 = len(search2.blockid)
-    ids, css, fes, ses, sls, els, cls = [], [], [], [], [], [], []
-    for twoId in range(D2):
-        lo = int(search2.start_on_salist[twoId])
-        hi = int(search2.end_on_salist[twoId])
-        if lo == -1 and hi == -1:
-            continue
-        oneId = int(search2.blockid[twoId])
-        sl = int(search1.qrystart_len[oneId])
-        el = int(search1.qryend_len[oneId])
-        cl = int(search2.qryend_len[twoId])
-        for tx in sample_indices(hi - lo + 1, cfg.sampler_twogap, cfg.is_sample):
-            ids.append(twoId)
-            css.append(int(twogap_sa.str_position[lo + tx]))
-            fes.append(int(twogap_sa.length[lo + tx]))
-            ses.append(int(twogap_sa.length2[lo + tx]))
-            sls.append(sl)
-            els.append(el)
-            cls.append(cl)
-    if not ids:
+    ids, tx = occurrence_lists(search2.start_on_salist, search2.end_on_salist,
+                               cfg.sampler_twogap, cfg.is_sample)
+    row = search2.start_on_salist.astype(np.int64)[ids] + tx
+    css = twogap_sa.str_position.astype(np.int64)[row] if len(row) else row
+    fes = twogap_sa.length.astype(np.int64)[row] if len(row) else row
+    ses = twogap_sa.length2.astype(np.int64)[row] if len(row) else row
+    one_ids = search2.blockid.astype(np.int64)[ids] if len(ids) else ids
+    sls = search1.qrystart_len.astype(np.int64)[one_ids] if len(ids) else ids
+    els = search1.qryend_len.astype(np.int64)[one_ids] if len(ids) else ids
+    cls = search2.qryend_len.astype(np.int64)[ids] if len(ids) else ids
+    if len(ids) == 0:
         return GapRules(*(np.empty(0, np.int32) for _ in range(7)))
     ni, cs_p, fe_p, se_p, sl_p, el_p, cl_p = pad_items(
         np.asarray(css, np.int32), np.asarray(fes, np.int32),
@@ -658,7 +656,6 @@ def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
                         jnp.asarray(sl_p), jnp.asarray(el_p), jnp.asarray(cl_p),
                         cfg.max_rule_span)
     v, ts, te, g1s, g1e, g2s, g2e = [np.asarray(x)[:ni] for x in out]
-    ids = np.asarray(ids, dtype=np.int64)
     m = v
     a = np.stack([ts[m], (te - ts)[m], (g1s - ts)[m], (g1e - ts)[m],
                   (g2s - ts)[m], (g2e - ts)[m], ids[m]], axis=1).astype(np.int64)

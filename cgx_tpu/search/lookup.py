@@ -372,30 +372,27 @@ def _two_batch(refstr, rlp, l_tar, r_tar, qtokens, pstart, plen, stok, mrs, mgs)
 def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
                        onegap_sa: GapOnSA, search2: TwoGapSearch,
                        pc: Precomp, cfg: ExtractorConfig) -> GapOnSA:
+    from cgx_tpu.extract.device import _onegap_occurrences
     D2 = len(search2.blockid)
     mrs, mgs = cfg.max_rule_span, cfg.min_gap_size
-    item_two, item_pstart, item_plen, item_stok = [], [], [], []
-    for twoId in range(D2):
-        oneId = int(search2.blockid[twoId])
-        lo = int(search1.start_on_salist[oneId])
-        hi = int(search1.end_on_salist[oneId])
-        if lo == -1 and hi == -1:
-            continue
-        stok = int(search2.gap2[twoId])
-        if hi - lo + 1 == 1 and int(onegap_sa.length[lo]) == 0:
-            pci = int(onegap_sa.str_position[lo])
-            for r in range(int(pc.index_start[pci]), int(pc.index_end[pci]) + 1):
-                item_two.append(twoId)
-                item_pstart.append(int(pc.onegap_start[r]))
-                item_plen.append(int(pc.onegap_length[r]))
-                item_stok.append(stok)
-        else:
-            for r in range(lo, hi + 1):
-                item_two.append(twoId)
-                item_pstart.append(int(onegap_sa.str_position[r]))
-                item_plen.append(int(onegap_sa.length[r]))
-                item_stok.append(stok)
-    if not item_two:
+    # per distinct 1-gap pattern: full (unsampled) occurrence expansion with
+    # precomp-cell redirection; then map onto the 2-gap patterns sharing it
+    one_ids_all, css_all, fes_all = _onegap_occurrences(
+        search1, onegap_sa, pc, 0, False)
+    # occurrences grouped by oneId; expand per twoId via counts
+    D1 = len(search1.qrystart)
+    per_one = np.bincount(one_ids_all, minlength=D1) if len(one_ids_all) else         np.zeros(D1, dtype=np.int64)
+    one_offs = np.concatenate([[0], np.cumsum(per_one)])[:-1]
+    oid = search2.blockid.astype(np.int64)
+    counts2 = per_one[oid]
+    item_two = np.repeat(np.arange(D2, dtype=np.int64), counts2)
+    offs2 = np.concatenate([[0], np.cumsum(counts2)])[:-1]
+    within = np.arange(int(counts2.sum()), dtype=np.int64) -         np.repeat(offs2, counts2)
+    src_row = one_offs[oid[item_two]] + within
+    item_pstart = css_all[src_row] if len(item_two) else item_two
+    item_plen = fes_all[src_row] if len(item_two) else item_two
+    item_stok = search2.gap2.astype(np.int64)[item_two] if len(item_two) else         item_two
+    if len(item_two) == 0:
         out = GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
         return out
     ni, ps_p, pl_p, st_p = pad_items(
@@ -408,9 +405,6 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
     valid = np.asarray(valid)[:ni]
     length2 = np.asarray(length2)[:ni]
     ii, mm = np.nonzero(valid)
-    item_two = np.asarray(item_two, dtype=np.int64)
-    item_pstart = np.asarray(item_pstart, dtype=np.int64)
-    item_plen = np.asarray(item_plen, dtype=np.int64)
     rows = np.stack([item_two[ii], item_pstart[ii], item_plen[ii],
                      length2[ii, mm].astype(np.int64)], axis=1)
     order = np.lexsort((rows[:, 3], rows[:, 2], rows[:, 1], rows[:, 0]))

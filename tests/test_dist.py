@@ -34,3 +34,30 @@ def test_sharded_search_matches_single_chip(toy_fixture):
     # pad lanes carry suffixlen 0 / matchlen 0 and contribute nothing
     assert n_match == int((p1.longestmatch > 0).sum())
     assert n_rules > 0
+
+
+def test_multihost_query_slicing(toy_fixture, tmp_path):
+    """Simulated 2-host run: per-host shards' grammar files must equal the
+    single-host output exactly."""
+    from cgx_tpu.parallel import multihost as mh
+    from cgx_tpu import pipeline as tpl
+    from cgx_tpu.preproc import corpus as cp
+
+    cfg = ExtractorConfig(precompute_count=30)
+    args = (cp.read_lines(str(toy_fixture / "corpus.f")),
+            cp.read_lines(str(toy_fixture / "corpus.e")),
+            cp.read_lines(str(toy_fixture / "corpus.a")),
+            cp.read_tokens(str(toy_fixture / "lex.txt")),
+            cp.read_lines(str(toy_fixture / "query.f")))
+    full = tpl.run_pipeline(*args, cfg)
+    n = len(args[4])
+    got = {}
+    for pid in range(2):
+        lo, hi = mh.query_slice(n, process_id=pid, process_count=2)
+        res = tpl.run_pipeline(args[0], args[1], args[2], args[3],
+                               args[4][lo:hi], cfg)
+        for ql, lines in enumerate(res.per_query_lines):
+            got[lo + ql] = lines
+    assert len(got) == n
+    for q in range(n):
+        assert got[q] == full.per_query_lines[q], f"query {q} differs across hosts"

@@ -327,7 +327,7 @@ def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig):
     out = _contig_batch(index.refstr_padded, index.sa, index.rlp, index.l_tar,
                         index.r_tar, jnp.asarray(sa_p), jnp.asarray(lm_p),
                         cfg.max_rule_span, cfg.max_rule_symbols)
-    out = [np.asarray(x)[:ni] for x in out]
+    out = [x[:ni] for x in jax.device_get(out)]
     (ab_v, ab_ts, ab_len,
      x_v, x_ts, x_te, x_g1s, x_g1e,
      a_v, a_ts, a_te, a_g1s, a_g1e,
@@ -566,7 +566,7 @@ def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
                         jnp.asarray(cs_p), jnp.asarray(fe_p), jnp.asarray(sl_p),
                         jnp.asarray(el_p), cfg.max_rule_span,
                         cfg.max_rule_symbols)
-    out = [np.asarray(x)[:ni] for x in out]
+    out = [x[:ni] for x in jax.device_get(out)]
     (b_v, b_ts, b_te, b_g1s, b_g1e,
      l_v, l_ts, l_te, l_g1s, l_g1e,
      r_v, r_ts, r_te, r_g2s, r_g2e) = out
@@ -655,7 +655,7 @@ def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
                         jnp.asarray(cs_p), jnp.asarray(fe_p), jnp.asarray(se_p),
                         jnp.asarray(sl_p), jnp.asarray(el_p), jnp.asarray(cl_p),
                         cfg.max_rule_span)
-    v, ts, te, g1s, g1e, g2s, g2e = [np.asarray(x)[:ni] for x in out]
+    v, ts, te, g1s, g1e, g2s, g2e = [x[:ni] for x in jax.device_get(out)]
     m = v
     a = np.stack([ts[m], (te - ts)[m], (g1s - ts)[m], (g1e - ts)[m],
                   (g2s - ts)[m], (g2e - ts)[m], ids[m]], axis=1).astype(np.int64)

@@ -100,9 +100,8 @@ def compute_maxlex_tpu(tasks, index, rules_one, rules_two, rules_contig,
             index.tgt_str, jnp.asarray(sp_p), jnp.asarray(t0_p),
             jnp.asarray(te_p), jnp.asarray(g1_p), jnp.asarray(g11_p),
             jnp.asarray(g2_p), jnp.asarray(g21_p))
-    fge_best = np.asarray(fge_best)[:ni]
-    egf_best = np.asarray(egf_best)[:ni]
-    tmask = np.asarray(tmask)[:ni]
+    fge_best, egf_best, tmask = (
+        x[:ni] for x in jax.device_get((fge_best, egf_best, tmask)))
 
     maxscore = np.float32(cfg.max_score)
     fge = np.zeros(T, dtype=np.float32)

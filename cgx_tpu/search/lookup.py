@@ -263,9 +263,7 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
             index.refstr_padded, index.device_query_tokens(queries),
             jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(a3), jnp.asarray(a4),
             jnp.asarray(a5), jnp.asarray(a6), mrs)
-        ok = np.asarray(ok)[:ni]
-        spos = np.asarray(spos)[:ni]
-        length = np.asarray(length)[:ni]
+        ok, spos, length = (x[:ni] for x in jax.device_get((ok, spos, length)))
         if ok.any():
             rows_parts.append(np.stack([
                 item_pat[ok], spos[ok].astype(np.int64),
@@ -292,8 +290,7 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
                 index.device_query_tokens(queries), jnp.asarray(g_p),
                 jnp.asarray(sl_p), jnp.asarray(el_p), jnp.asarray(st_p),
                 mrs, mgs)
-            valid = np.asarray(valid)[:ni]
-            length = np.asarray(length)[:ni]
+            valid, length = (x[:ni] for x in jax.device_get((valid, length)))
             ii, mm = np.nonzero(valid)
             if len(ii):
                 rows_parts.append(np.stack([
@@ -309,12 +306,12 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
                 index.device_query_tokens(queries), jnp.asarray(g_p),
                 jnp.asarray(sl_p), jnp.asarray(el_p), jnp.asarray(tk_p),
                 mrs, mgs)
-            valid = np.asarray(valid)[:ni]
+            valid, spos, length = (x[:ni] for x in jax.device_get((valid, spos, length)))
             ii, mm = np.nonzero(valid)
             if len(ii):
                 rows_parts.append(np.stack([
-                    item_pat[ii], np.asarray(spos)[:ni][ii, mm].astype(np.int64),
-                    np.asarray(length)[:ni][ii, mm].astype(np.int64)], axis=1))
+                    item_pat[ii], spos[ii, mm].astype(np.int64),
+                    length[ii, mm].astype(np.int64)], axis=1))
 
     if rows_parts:
         rows = np.concatenate(rows_parts, axis=0)
@@ -402,8 +399,7 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
         index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
         index.device_query_tokens(queries), jnp.asarray(ps_p),
         jnp.asarray(pl_p), jnp.asarray(st_p), mrs, mgs)
-    valid = np.asarray(valid)[:ni]
-    length2 = np.asarray(length2)[:ni]
+    valid, length2 = (x[:ni] for x in jax.device_get((valid, length2)))
     ii, mm = np.nonzero(valid)
     rows = np.stack([item_two[ii], item_pstart[ii], item_plen[ii],
                      length2[ii, mm].astype(np.int64)], axis=1)

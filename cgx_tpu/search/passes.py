@@ -237,14 +237,13 @@ def pass1_tpu(index, queries) -> Pass1Result:
     toks = np.arange(n, dtype=np.int32)
     suffixlens = ends - toks
     _, toks_p, sufl_p = batching.pad_items(toks, suffixlens)
-    lm, up, down, ffh, ffl, ffr = _pass1_batch(
+    out = _pass1_batch(
         index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
         index.device_query_tokens(queries), jnp.asarray(toks_p),
         jnp.asarray(sufl_p), index.reflen)
-    return Pass1Result(
-        up=np.asarray(up)[:n], down=np.asarray(down)[:n],
-        firstfindhit=np.asarray(ffh)[:n], firstfindhitL=np.asarray(ffl)[:n],
-        firstfindhitR=np.asarray(ffr)[:n], longestmatch=np.asarray(lm)[:n])
+    lm, up, down, ffh, ffl, ffr = (x[:n] for x in jax.device_get(out))
+    return Pass1Result(up=up, down=down, firstfindhit=ffh, firstfindhitL=ffl,
+                       firstfindhitR=ffr, longestmatch=lm)
 
 
 def pass2_tpu(index, queries, p1: Pass1Result) -> Pass2Result:
@@ -270,10 +269,10 @@ def pass2_tpu(index, queries, p1: Pass1Result) -> Pass2Result:
         np.asarray(toks, np.int32), np.asarray(matches, np.int32),
         np.asarray(LLs, np.int32), np.asarray(MMs, np.int32),
         np.asarray(RRs, np.int32))
-    up, down = _pass2_batch(
+    out = _pass2_batch(
         index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
         index.device_query_tokens(queries), jnp.asarray(toks_p),
         jnp.asarray(matches_p), jnp.asarray(LLs_p), jnp.asarray(MMs_p),
         jnp.asarray(RRs_p))
-    return Pass2Result(connectoffset=connectoffset,
-                       up=np.asarray(up)[:total], down=np.asarray(down)[:total])
+    up, down = (x[:total] for x in jax.device_get(out))
+    return Pass2Result(connectoffset=connectoffset, up=up, down=down)

@@ -120,11 +120,8 @@ def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
         scan_ok, temp, gc, start, length = fn(
             index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
             jnp.asarray(g_p), mrs, mgs)
-        scan_ok = np.asarray(scan_ok)[:ni]
-        temp = np.asarray(temp)[:ni]
-        gc = np.asarray(gc)[:ni]
-        start = np.asarray(start)[:ni]
-        length = np.asarray(length)[:ni]
+        scan_ok, temp, gc, start, length = (
+            x[:ni] for x in jax.device_get((scan_ok, temp, gc, start, length)))
         ii, mm = np.nonzero(scan_ok)
         partners = temp[ii, mm]
         ib = np.searchsorted(tokens, partners)

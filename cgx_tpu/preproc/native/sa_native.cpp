@@ -191,3 +191,69 @@ int cgx_build_interval_tree(const int32_t* lcp, int64_t n, int32_t* lcpleft,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Corpus tokenizer + vocab interning (replaces the uthash loaders,
+// Start.cu:240-380 / 142-238): whitespace tokens interned in first-appearance
+// order with ids starting at 2; separator token 1 after every line.
+//
+// Two-pass C ABI for ctypes: cgx_tokenize writes token ids + per-line counts and
+// returns the vocab as offsets into the input buffer (first occurrence of each
+// word), so no strings are copied.
+// ---------------------------------------------------------------------------
+
+#include <string_view>
+#include <unordered_map>
+
+extern "C" {
+
+// text: corpus bytes (not NUL-terminated), length n.
+// out_ids      [>= n tokens]   token id per token (pre-separator layout)
+// out_linetok  [>= n lines]    token count per line
+// out_word_off [>= n words]    byte offset of each vocab word's first occurrence
+// out_word_len [>= n words]    byte length of each vocab word
+// Returns number of tokens written; *n_lines_out lines; *n_words_out distinct.
+long cgx_tokenize(const char* text, long n, int32_t* out_ids,
+                  int32_t* out_linetok, int64_t* out_word_off,
+                  int32_t* out_word_len, long* n_lines_out, long* n_words_out) {
+  std::unordered_map<std::string_view, int32_t> vocab;
+  vocab.reserve(1 << 20);
+  long ntok = 0, nlines = 0, nwords = 0;
+  long i = 0;
+  while (i < n) {
+    long line_end = i;
+    while (line_end < n && text[line_end] != '\n') ++line_end;
+    int32_t line_count = 0;
+    long j = i;
+    while (j < line_end) {
+      while (j < line_end && (text[j] == ' ' || text[j] == '\t' ||
+                              text[j] == '\r')) ++j;
+      long w0 = j;
+      while (j < line_end && text[j] != ' ' && text[j] != '\t' &&
+             text[j] != '\r') ++j;
+      if (j > w0) {
+        std::string_view w(text + w0, (size_t)(j - w0));
+        auto it = vocab.find(w);
+        int32_t id;
+        if (it == vocab.end()) {
+          id = (int32_t)(nwords + 2);
+          vocab.emplace(w, id);
+          out_word_off[nwords] = w0;
+          out_word_len[nwords] = (int32_t)(j - w0);
+          ++nwords;
+        } else {
+          id = it->second;
+        }
+        out_ids[ntok++] = id;
+        ++line_count;
+      }
+    }
+    out_linetok[nlines++] = line_count;
+    i = line_end + 1;
+  }
+  *n_lines_out = nlines;
+  *n_words_out = nwords;
+  return ntok;
+}
+
+}  // extern "C"

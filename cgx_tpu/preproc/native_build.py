@@ -52,6 +52,11 @@ def load_native():
         lib.cgx_build_lcp.restype = ctypes.c_int
         lib.cgx_build_interval_tree.argtypes = [i32p, ctypes.c_int64, i32p, i32p]
         lib.cgx_build_interval_tree.restype = ctypes.c_int
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.cgx_tokenize.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, i32p, i32p, i64p, i32p,
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long)]
+        lib.cgx_tokenize.restype = ctypes.c_long
         _lib = lib
         return _lib
 

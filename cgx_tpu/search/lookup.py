@@ -107,8 +107,7 @@ def _fwd_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
     survive = ~bad & ~verify_kill
     reach = _prefix_ok(survive) & span_ok & ~gap0_bad
     cand = reach & ~bad & is_b & verify_ok
-    gc = jax.vmap(lambda m: _gap_check(rlp, l_tar, r_tar, gostart + sl,
-                                       gostart + sl + mgs + m - 1, mrs))(moves)
+    gc = _gap_check_grow(rlp, l_tar, r_tar, gostart + sl, mgs - 1, mrs, True)
     valid = cand & gc
     length = sl + mgs + moves + el - 1
     return valid, length
@@ -143,9 +142,7 @@ def _bwd_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
     survive = ~bad & ~verify_kill
     reach = _prefix_ok(survive) & span_ok & ~gap0_bad
     cand = reach & ~bad & is_a & verify_ok
-    gc = jax.vmap(lambda m: _gap_check(rlp, l_tar, r_tar,
-                                       gostart - 1 - mgs - m + 1,
-                                       gostart - 1, mrs))(moves)
+    gc = _gap_check_grow(rlp, l_tar, r_tar, gostart - 1, mgs - 1, mrs, False)
     valid = cand & gc
     str_position = gostart - 1 - mgs - moves - sl + 1
     length = el + mgs + moves + sl - 1
@@ -353,8 +350,8 @@ def _two_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
     survive = ~bad & ~span_kill
     reach = _prefix_ok(survive) & ~gap0_bad
     cand = reach & ~span_kill & ~bad & (temp == pre_cache)
-    gc = jax.vmap(lambda m: _gap_check(rlp, l_tar, r_tar, pstart + plen + 1,
-                                       pstart + plen + mgs + m, mrs))(moves)
+    gc = _gap_check_grow(rlp, l_tar, r_tar, pstart + plen + 1, mgs - 1, mrs,
+                         True)
     valid = cand & gc
     length2 = plen + 1 + mgs + moves  # + el - 1 with el == 1
     return valid, length2
@@ -411,3 +408,77 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
                   length2=rows[:, 3].astype(np.int32))
     _fill_salist(search2.start_on_salist, search2.end_on_salist, out.position)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused nested-window gap check.
+#
+# The per-move gap spans of every scan kernel are nested (fixed start growing
+# right, or fixed end growing left), so all MMOV checkBoundaryGap evaluations
+# share one RLP window: load it once, take prefix (or suffix) min/max of the
+# aligned L/R spans, and evaluate every move from the scans.  The back-projection
+# windows are nested too — all valid target spans fit in a 16-wide window anchored
+# at the widest valid span's min — so the target side is also a single load plus a
+# [MMOV, 16] masked reduction.  Equivalent to vmapping _gap_check over moves
+# (garbage on moves whose spans cross sentence boundaries, which every caller
+# masks out via its scan-kill logic), with ~20x less gather traffic.
+# ---------------------------------------------------------------------------
+
+def _gap_check_grow(rlp, l_tar, r_tar, fixed, base_off, mrs: int,
+                    grow_right: bool):
+    """ok[MMOV] for spans [fixed, fixed+base_off+m] (grow_right) or
+    [fixed-base_off-m, fixed] (grow_left)."""
+    moves = jnp.arange(MMOV, dtype=jnp.int32)
+    w = jnp.arange(mrs, dtype=jnp.int32)
+    if grow_right:
+        ks = fixed + w                       # window left-aligned at fixed
+    else:
+        ks = fixed - w                       # reversed window ending at fixed
+    temp = rlp[jnp.clip(ks, 0, rlp.shape[0] - 1)].astype(jnp.uint32)
+    L = ((temp >> 24) & 0xFF).astype(jnp.int32)
+    R = ((temp >> 16) & 0xFF).astype(jnp.int32)
+    oob = ks < 0
+    unal = (L == 255) | (R == 255) | oob
+    al = ~unal
+    minL_pref = jax.lax.associative_scan(jnp.minimum, jnp.where(al, L, 256))
+    maxR_pref = jax.lax.associative_scan(jnp.maximum, jnp.where(al, R, -1))
+    span = base_off + moves                  # outer offset of each move's span
+    off = jnp.clip(span, 0, mrs - 1)
+    minL = minL_pref[off]
+    maxR = maxR_pref[off]
+    fail0 = unal[0] | jnp.take(unal, off) | (span < 0) | (span > mrs - 1)
+    # sentence anchor at each span's start token (constant within a sentence;
+    # grow_right: fixed; grow_left: the innermost (m=0) start)
+    if grow_right:
+        start_tok = fixed
+    else:
+        start_tok = fixed - base_off
+    t0 = rlp[jnp.clip(start_tok, 0, rlp.shape[0] - 1)].astype(jnp.uint32)
+    p0 = ((t0 >> 8) & 0xFF).astype(jnp.int32)
+    tempind = start_tok - p0 - 1
+    stb = jnp.where(tempind == -1, jnp.int32(0),
+                    rlp[jnp.clip(tempind, 0, rlp.shape[0] - 1)].astype(jnp.int32))
+    ok1 = ~fail0 & (minL <= maxR) & (maxR - minL < mrs)
+    ts = minL + stb
+    te = maxR + stb
+    # target union window: anchored at the min ts over valid moves; every valid
+    # span fits within 16 positions of it (see module comment)
+    anchor = jnp.min(jnp.where(ok1, ts, 2**30))
+    anchor = jnp.where(anchor == 2**30, jnp.int32(0), anchor)
+    win = anchor + jnp.arange(MMOV, dtype=jnp.int32)
+    winc = jnp.clip(win, 0, l_tar.shape[0] - 1)
+    L2 = l_tar[winc]
+    R2 = r_tar[winc]
+    al2 = (L2 != 255) & (R2 != 255)
+    inb = (win[None, :] >= ts[:, None]) & (win[None, :] <= te[:, None])
+    m2 = inb & al2[None, :]
+    bmin = jnp.min(jnp.where(m2, L2[None, :], 256), axis=1)
+    bmax = jnp.max(jnp.where(m2, R2[None, :], -1), axis=1)
+    if grow_right:
+        src_start = jnp.broadcast_to(fixed, (MMOV,))
+        src_end = fixed + span
+    else:
+        src_start = fixed - span
+        src_end = jnp.broadcast_to(fixed, (MMOV,))
+    return ok1 & (tempind + 1 + bmin == src_start) & \
+        (tempind + 1 + bmax == src_end)

@@ -28,7 +28,7 @@ import numpy as np
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.preproc.corpus import SourceCorpus
 from cgx_tpu.preproc.suffix_array import SAIndex
-from cgx_tpu.search.lookup import MMOV, _gap_check, _prefix_ok
+from cgx_tpu.search.lookup import MMOV, _gap_check, _gap_check_grow, _prefix_ok
 from cgx_tpu.types import Precomp
 from cgx_tpu.utils.batching import pad_items
 
@@ -43,8 +43,7 @@ def _fwd_item(refstr, rlp, l_tar, r_tar, mrs, mgs, gostart):
     bad = temp < 2
     span_ok = 1 + mgs + moves + 1 <= mrs
     scan_ok = _prefix_ok(~bad) & span_ok & ~gap0_bad & ~bad
-    gc = jax.vmap(lambda m: _gap_check(rlp, l_tar, r_tar, gostart + 1,
-                                       gostart + m + 1 + mgs - 1, mrs))(moves)
+    gc = _gap_check_grow(rlp, l_tar, r_tar, gostart + 1, mgs - 1, mrs, True)
     start = jnp.broadcast_to(gostart, (MMOV,))
     length = moves + 1 + mgs
     return scan_ok, temp, gc, start, length
@@ -59,9 +58,7 @@ def _bwd_item(refstr, rlp, l_tar, r_tar, mrs, mgs, gostart):
     bad = oob | (temp < 2)
     span_ok = 1 + mgs + moves + 1 <= mrs
     scan_ok = _prefix_ok(~bad) & span_ok & ~gap0_bad & ~bad
-    gc = jax.vmap(lambda m: _gap_check(rlp, l_tar, r_tar,
-                                       gostart - 1 - mgs - m + 1,
-                                       gostart - 1, mrs))(moves)
+    gc = _gap_check_grow(rlp, l_tar, r_tar, gostart - 1, mgs - 1, mrs, False)
     start = pos
     length = moves + 1 + mgs
     return scan_ok, temp, gc, start, length

@@ -66,9 +66,11 @@ def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
                                    art.lex, cfg)
         return art, index, t
     with t.phase("refsin"):
-        source = cp.load_source_corpus(f_lines)
-        target = cp.load_target_corpus(e_lines)
-        align = cp.load_alignment(a_lines, source, target)
+        source = (cp.load_source_corpus_text(f_lines) if isinstance(f_lines, str)
+                  else cp.load_source_corpus(f_lines))
+        target = (cp.load_target_corpus_text(e_lines) if isinstance(e_lines, str)
+                  else cp.load_target_corpus(e_lines))
+        align = cp.load_alignment_fast(a_lines, source, target)
         lex = cp.load_lex_table(lex_tokens, source.vocab, target.vocab)
     with t.phase("suffixarray"):
         sa = sab.build_index(source.str_)
@@ -172,8 +174,12 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
 def run_pipeline_files(reffile, qryfile, tarfile, alignfile, lexfile, dest_dir,
                        cfg: ExtractorConfig = DEFAULT_CONFIG,
                        index_dir: str = None):
+    with open(reffile, encoding="utf-8") as fh:
+        f_text = fh.read()
+    with open(tarfile, encoding="utf-8") as fh:
+        e_text = fh.read()
     res = run_pipeline(
-        cp.read_lines(reffile), cp.read_lines(tarfile), cp.read_lines(alignfile),
+        f_text, e_text, cp.read_lines(alignfile),
         cp.read_tokens(lexfile), cp.read_lines(qryfile), cfg,
         index_dir=index_dir)
     gw.write_grammars(dest_dir, res.queries.qryscount, cfg.is_sample,

@@ -286,3 +286,130 @@ def read_lines(path: str) -> list:
 def read_tokens(path: str) -> list:
     with open(path, "r", encoding="utf-8") as fh:
         return fh.read().split()
+
+
+# ---------------------------------------------------------------------------
+# Native-tokenizer fast path (C++ interning; identical results to the Python
+# loaders above, test-enforced).  Operates on raw corpus text.
+# ---------------------------------------------------------------------------
+
+def _native_tokenize(text: str):
+    """Returns (ids, line_counts, vocab) via the C++ interner, or None."""
+    import ctypes
+
+    from cgx_tpu.preproc import native_build
+
+    lib = native_build.load_native()
+    if lib is None:
+        return None
+    data = text.encode("utf-8")
+    n = len(data)
+    if n == 0:
+        return np.empty(0, np.int32), np.empty(0, np.int32), Vocab({}, [None, None])
+    cap = n // 2 + 2  # max tokens/lines/words bounded by bytes/2 + 1
+    ids = np.empty(cap, dtype=np.int32)
+    linetok = np.empty(cap, dtype=np.int32)
+    word_off = np.empty(cap, dtype=np.int64)
+    word_len = np.empty(cap, dtype=np.int32)
+    n_lines = ctypes.c_long()
+    n_words = ctypes.c_long()
+    ntok = lib.cgx_tokenize(
+        data, n,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        linetok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        word_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        word_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(n_lines), ctypes.byref(n_words))
+    nl, nw = n_lines.value, n_words.value
+    id_to_word = [None, None] + [
+        data[word_off[i]:word_off[i] + word_len[i]].decode("utf-8")
+        for i in range(nw)]
+    vocab = Vocab(word_to_id={w: i + 2 for i, w in enumerate(id_to_word[2:])},
+                  id_to_word=id_to_word)
+    return ids[:ntok], linetok[:nl], vocab
+
+
+def _with_separators(ids: np.ndarray, linetok: np.ndarray):
+    """Interleave the separator token after every line; returns
+    (str_, P, sentenceind) pre-sentinel."""
+    nl = len(linetok)
+    total = len(ids) + nl
+    out = np.ones(total, dtype=np.int32)
+    ends = np.cumsum(linetok.astype(np.int64) + 1)          # post-separator ends
+    sentenceind = np.concatenate([[0], ends]).astype(np.int32)
+    tok_line = np.repeat(np.arange(nl), linetok)
+    tok_pos = np.arange(len(ids), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(linetok.astype(np.int64))])[:-1], linetok)
+    out_idx = tok_pos + (ends - linetok - 1)[tok_line]
+    out[out_idx] = ids
+    P = np.zeros(total, dtype=np.uint8)
+    P[out_idx] = (tok_pos & 0xFF).astype(np.uint8)
+    return out, P, sentenceind
+
+
+def load_source_corpus_text(text: str) -> SourceCorpus:
+    nat = _native_tokenize(text)
+    if nat is None:
+        return load_source_corpus(text.splitlines())
+    ids, linetok, vocab = nat
+    str_, P, sentenceind = _with_separators(ids, linetok)
+    last = len(vocab.word_to_id) + 2
+    str_ = np.concatenate([str_, np.asarray([SEPARATOR_ID, last], np.int32)])
+    P = np.concatenate([P, np.zeros(2, np.uint8)])
+    return SourceCorpus(str_=str_, P=P, sentenceind=sentenceind, vocab=vocab)
+
+
+def load_target_corpus_text(text: str) -> TargetCorpus:
+    nat = _native_tokenize(text)
+    if nat is None:
+        return load_target_corpus(text.splitlines())
+    ids, linetok, vocab = nat
+    str_, _P, sentenceind = _with_separators(ids, linetok)
+    last = len(vocab.word_to_id) + 2
+    str_ = np.concatenate([str_, np.asarray([SEPARATOR_ID, last], np.int32)])
+    return TargetCorpus(str_=str_, sentenceind=sentenceind, vocab=vocab)
+
+
+def load_alignment_fast(lines, source: SourceCorpus,
+                        target: TargetCorpus) -> Alignment:
+    """Vectorized load_alignment (same results; scatter min/max via ufunc.at)."""
+    srcs, tars = [], []
+    for q, line in enumerate(lines):
+        nums = np.fromstring(line.replace("-", " "), dtype=np.int64, sep=" ") \
+            if line.strip() else np.empty(0, np.int64)
+        if len(nums) % 2:
+            raise ValueError(f"alignment line {q}: odd token count")
+        nums = nums.reshape(-1, 2)
+        srcs.append(nums[:, 0] + int(source.sentenceind[q]))
+        tars.append((nums[:, 0] * 0 + nums[:, 1],
+                     nums[:, 1] + int(target.sentenceind[q]),
+                     nums[:, 0]))
+    si = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+    t_no = np.concatenate([t[0] for t in tars]) if tars else si
+    ti = np.concatenate([t[1] for t in tars]) if tars else si
+    s_no = np.concatenate([t[2] for t in tars]) if tars else si
+    if len(si) and (int(s_no.max(initial=0)) >= 255
+                    or int(t_no.max(initial=0)) >= 255
+                    or int(min(s_no.min(initial=0), t_no.min(initial=0))) < 0):
+        raise ValueError("alignment: sentence too long")
+
+    n_src, n_tar = source.toklen, target.toklen
+    L_src = np.full(n_src, 256, dtype=np.int32)
+    R_src = np.full(n_src, -1, dtype=np.int32)
+    np.minimum.at(L_src, si, t_no)
+    np.maximum.at(R_src, si, t_no)
+    L_src = np.where(L_src == 256, UNALIGNED, L_src)
+    R_src = np.where(R_src == -1, UNALIGNED, R_src)
+    L_tar = np.full(n_tar, 256, dtype=np.int32)
+    R_tar = np.full(n_tar, -1, dtype=np.int32)
+    np.minimum.at(L_tar, ti, s_no)
+    np.maximum.at(R_tar, ti, s_no)
+    L_tar = np.where(L_tar == 256, UNALIGNED, L_tar).astype(np.uint8)
+    R_tar = np.where(R_tar == -1, UNALIGNED, R_tar).astype(np.uint8)
+
+    RLP = ((L_src.astype(np.uint32) << 24)
+           | (R_src.astype(np.uint32) << 16)
+           | (source.P.astype(np.uint32) << 8))
+    sep_slots = source.sentenceind[1:] - 1
+    RLP[sep_slots] = target.sentenceind[1:].astype(np.uint32)
+    return Alignment(L_tar=L_tar, R_tar=R_tar, RLP=RLP)

@@ -105,3 +105,30 @@ def test_lex_table_sorted_and_null():
     assert lex.keys_src.tolist() == [-1, 2, 2, 3]
     assert lex.keys_tgt.tolist() == [3, -1, 2, 3]
     assert lex.val1.dtype == np.float32
+
+
+def test_native_tokenizer_matches_python(toy_fixture):
+    text_f = (toy_fixture / "corpus.f").read_text()
+    text_e = (toy_fixture / "corpus.e").read_text()
+    s1 = cp.load_source_corpus(text_f.splitlines())
+    s2 = cp.load_source_corpus_text(text_f)
+    np.testing.assert_array_equal(s1.str_, s2.str_)
+    np.testing.assert_array_equal(s1.P, s2.P)
+    np.testing.assert_array_equal(s1.sentenceind, s2.sentenceind)
+    assert s1.vocab.word_to_id == s2.vocab.word_to_id
+    t1 = cp.load_target_corpus(text_e.splitlines())
+    t2 = cp.load_target_corpus_text(text_e)
+    np.testing.assert_array_equal(t1.str_, t2.str_)
+    np.testing.assert_array_equal(t1.sentenceind, t2.sentenceind)
+    assert t1.vocab.id_to_word == t2.vocab.id_to_word
+
+
+def test_fast_alignment_matches_slow(toy_fixture):
+    src = cp.load_source_corpus(cp.read_lines(str(toy_fixture / "corpus.f")))
+    tgt = cp.load_target_corpus(cp.read_lines(str(toy_fixture / "corpus.e")))
+    lines = cp.read_lines(str(toy_fixture / "corpus.a"))
+    a1 = cp.load_alignment(lines, src, tgt)
+    a2 = cp.load_alignment_fast(lines, src, tgt)
+    np.testing.assert_array_equal(a1.L_tar, a2.L_tar)
+    np.testing.assert_array_equal(a1.R_tar, a2.R_tar)
+    np.testing.assert_array_equal(a1.RLP, a2.RLP)

@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 # First measured value on the single TPU v5e chip (updated as perf improves).
-BASELINE_QPS = None  # set after the first recorded chip run (see BASELINE.md)
+BASELINE_QPS = 4.48  # first recorded chip run (BASELINE.md, round 1)
 
 SIZES = {
     "toy": (300, 8),

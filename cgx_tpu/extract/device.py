@@ -28,7 +28,7 @@ import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.extract.blocks import occurrence_lists, sample_indices
-from cgx_tpu.utils.batching import pad_items
+from cgx_tpu.utils.batching import chunked_batch, pad_items
 from cgx_tpu.types import Blocks, ContigRules, GapOnSA, GapRules, OneGapSearch, Precomp, TwoGapSearch
 
 IMAX = 14   # max growth distance: lm + i <= max_rule_span with lm >= 1
@@ -322,12 +322,12 @@ def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig):
         empty = GapRules(*(np.empty(0, np.int32) for _ in range(7)))
         return (ContigRules(*(np.empty(0, np.int32) for _ in range(3))),
                 empty, empty)
-    ni, sa_p, lm_p = pad_items(np.asarray(sa_pos, np.int32),
-                               np.asarray(lms, np.int32))
-    out = _contig_batch(index.refstr_padded, index.sa, index.rlp, index.l_tar,
-                        index.r_tar, jnp.asarray(sa_p), jnp.asarray(lm_p),
-                        cfg.max_rule_span, cfg.max_rule_symbols)
-    out = [x[:ni] for x in jax.device_get(out)]
+    out = chunked_batch(
+        lambda sp, lp: _contig_batch(
+            index.refstr_padded, index.sa, index.rlp, index.l_tar, index.r_tar,
+            jnp.asarray(sp), jnp.asarray(lp), cfg.max_rule_span,
+            cfg.max_rule_symbols),
+        [np.asarray(sa_pos, np.int32), np.asarray(lms, np.int32)])
     (ab_v, ab_ts, ab_len,
      x_v, x_ts, x_te, x_g1s, x_g1e,
      a_v, a_ts, a_te, a_g1s, a_g1e,
@@ -559,14 +559,13 @@ def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
         empty = GapRules(*(np.empty(0, np.int32) for _ in range(7)))
         return empty, empty
     ids = np.asarray(ids, dtype=np.int64)
-    ni, cs_p, fe_p, sl_p, el_p = pad_items(
-        np.asarray(css, np.int32), np.asarray(fes, np.int32),
-        np.asarray(sls, np.int32), np.asarray(els, np.int32))
-    out = _onegap_batch(index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-                        jnp.asarray(cs_p), jnp.asarray(fe_p), jnp.asarray(sl_p),
-                        jnp.asarray(el_p), cfg.max_rule_span,
-                        cfg.max_rule_symbols)
-    out = [x[:ni] for x in jax.device_get(out)]
+    out = chunked_batch(
+        lambda a, b, c, d: _onegap_batch(
+            index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d),
+            cfg.max_rule_span, cfg.max_rule_symbols),
+        [np.asarray(css, np.int32), np.asarray(fes, np.int32),
+         np.asarray(sls, np.int32), np.asarray(els, np.int32)])
     (b_v, b_ts, b_te, b_g1s, b_g1e,
      l_v, l_ts, l_te, l_g1s, l_g1e,
      r_v, r_ts, r_te, r_g2s, r_g2e) = out
@@ -647,15 +646,15 @@ def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
     cls = search2.qryend_len.astype(np.int64)[ids] if len(ids) else ids
     if len(ids) == 0:
         return GapRules(*(np.empty(0, np.int32) for _ in range(7)))
-    ni, cs_p, fe_p, se_p, sl_p, el_p, cl_p = pad_items(
-        np.asarray(css, np.int32), np.asarray(fes, np.int32),
-        np.asarray(ses, np.int32), np.asarray(sls, np.int32),
-        np.asarray(els, np.int32), np.asarray(cls, np.int32))
-    out = _twogap_batch(index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-                        jnp.asarray(cs_p), jnp.asarray(fe_p), jnp.asarray(se_p),
-                        jnp.asarray(sl_p), jnp.asarray(el_p), jnp.asarray(cl_p),
-                        cfg.max_rule_span)
-    v, ts, te, g1s, g1e, g2s, g2e = [x[:ni] for x in jax.device_get(out)]
+    out = chunked_batch(
+        lambda a, b, c, d, e, f: _twogap_batch(
+            index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d),
+            jnp.asarray(e), jnp.asarray(f), cfg.max_rule_span),
+        [np.asarray(css, np.int32), np.asarray(fes, np.int32),
+         np.asarray(ses, np.int32), np.asarray(sls, np.int32),
+         np.asarray(els, np.int32), np.asarray(cls, np.int32)])
+    v, ts, te, g1s, g1e, g2s, g2e = out
     m = v
     a = np.stack([ts[m], (te - ts)[m], (g1s - ts)[m], (g1e - ts)[m],
                   (g2s - ts)[m], (g2e - ts)[m], ids[m]], axis=1).astype(np.int64)

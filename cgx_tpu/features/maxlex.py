@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
-from cgx_tpu.utils.batching import pad_items
+from cgx_tpu.utils.batching import chunked_batch, pad_items
 
 TPOSW = 16   # target span width (end offset < max_rule_span)
 SRCW = 5     # max source words (MAX_rule_symbols)
@@ -91,17 +91,13 @@ def compute_maxlex_tpu(tasks, index, rules_one, rules_two, rules_contig,
         if task.kind == "twogap":
             g2[i], g21[i] = task.gap2, task.gap2_1
 
-    ni, sp_p, t0_p, te_p, g1_p, g11_p, g2_p, g21_p = pad_items(
-        src_pat, t0, tend, g1, g11, g2, g21)
     # int64 packed keys need x64 mode (off by default); scope it to this batch
     with jax.enable_x64(True):
-        fge_best, egf_best, tmask = _maxlex_batch(
-            jnp.asarray(index.lex_key), index.lex_val1, index.lex_val2,
-            index.tgt_str, jnp.asarray(sp_p), jnp.asarray(t0_p),
-            jnp.asarray(te_p), jnp.asarray(g1_p), jnp.asarray(g11_p),
-            jnp.asarray(g2_p), jnp.asarray(g21_p))
-    fge_best, egf_best, tmask = (
-        x[:ni] for x in jax.device_get((fge_best, egf_best, tmask)))
+        fge_best, egf_best, tmask = chunked_batch(
+            lambda *a: _maxlex_batch(
+                jnp.asarray(index.lex_key), index.lex_val1, index.lex_val2,
+                index.tgt_str, *(jnp.asarray(x) for x in a)),
+            [src_pat, t0, tend, g1, g11, g2, g21])
 
     maxscore = np.float32(cfg.max_score)
     fge = np.zeros(T, dtype=np.float32)

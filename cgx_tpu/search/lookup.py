@@ -23,7 +23,7 @@ import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.types import GapOnSA, OneGapSearch, Precomp, TwoGapSearch
-from cgx_tpu.utils.batching import pad_items
+from cgx_tpu.utils.batching import chunked_batch, pad_items
 
 MMOV = 16  # static move-axis width; real moves bounded by max_rule_span - 2
 
@@ -251,16 +251,15 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
         tx = np.arange(len(item_pat)) - np.repeat(offs, counts)
         row = pc.index_start[pci[item_pat]] + tx
-        ni, a1, a2, a3, a4, a5, a6 = pad_items(
-            pc.onegap_start[row], pc.onegap_length[row],
-            sl_all[item_pat].astype(np.int32), el_all[item_pat].astype(np.int32),
-            tok_all[item_pat].astype(np.int32),
-            stok_all[item_pat].astype(np.int32))
-        ok, spos, length = _pcs_batch(
-            index.refstr_padded, index.device_query_tokens(queries),
-            jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(a3), jnp.asarray(a4),
-            jnp.asarray(a5), jnp.asarray(a6), mrs)
-        ok, spos, length = (x[:ni] for x in jax.device_get((ok, spos, length)))
+        ok, spos, length = chunked_batch(
+            lambda *a: _pcs_batch(
+                index.refstr_padded, index.device_query_tokens(queries),
+                *(jnp.asarray(x) for x in a), mrs),
+            [pc.onegap_start[row], pc.onegap_length[row],
+             sl_all[item_pat].astype(np.int32),
+             el_all[item_pat].astype(np.int32),
+             tok_all[item_pat].astype(np.int32),
+             stok_all[item_pat].astype(np.int32)])
         if ok.any():
             rows_parts.append(np.stack([
                 item_pat[ok], spos[ok].astype(np.int64),
@@ -278,32 +277,28 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         tx = np.arange(len(item_pat)) - np.repeat(offs, counts)
         gostart = sa_host[np.repeat(lo, counts) + tx].astype(np.int32)
         if fwd:
-            ni, g_p, sl_p, el_p, st_p = pad_items(
-                gostart, sl_all[item_pat].astype(np.int32),
-                el_all[item_pat].astype(np.int32),
-                stok_all[item_pat].astype(np.int32))
-            valid, length = _fwd_batch(
-                index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-                index.device_query_tokens(queries), jnp.asarray(g_p),
-                jnp.asarray(sl_p), jnp.asarray(el_p), jnp.asarray(st_p),
-                mrs, mgs)
-            valid, length = (x[:ni] for x in jax.device_get((valid, length)))
+            valid, length = chunked_batch(
+                lambda *a: _fwd_batch(
+                    index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+                    index.device_query_tokens(queries),
+                    *(jnp.asarray(x) for x in a), mrs, mgs),
+                [gostart, sl_all[item_pat].astype(np.int32),
+                 el_all[item_pat].astype(np.int32),
+                 stok_all[item_pat].astype(np.int32)])
             ii, mm = np.nonzero(valid)
             if len(ii):
                 rows_parts.append(np.stack([
                     item_pat[ii], gostart[ii].astype(np.int64),
                     length[ii, mm].astype(np.int64)], axis=1))
         else:
-            ni, g_p, sl_p, el_p, tk_p = pad_items(
-                gostart, sl_all[item_pat].astype(np.int32),
-                el_all[item_pat].astype(np.int32),
-                tok_all[item_pat].astype(np.int32))
-            valid, spos, length = _bwd_batch(
-                index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-                index.device_query_tokens(queries), jnp.asarray(g_p),
-                jnp.asarray(sl_p), jnp.asarray(el_p), jnp.asarray(tk_p),
-                mrs, mgs)
-            valid, spos, length = (x[:ni] for x in jax.device_get((valid, spos, length)))
+            valid, spos, length = chunked_batch(
+                lambda *a: _bwd_batch(
+                    index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+                    index.device_query_tokens(queries),
+                    *(jnp.asarray(x) for x in a), mrs, mgs),
+                [gostart, sl_all[item_pat].astype(np.int32),
+                 el_all[item_pat].astype(np.int32),
+                 tok_all[item_pat].astype(np.int32)])
             ii, mm = np.nonzero(valid)
             if len(ii):
                 rows_parts.append(np.stack([
@@ -389,14 +384,13 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
     if len(item_two) == 0:
         out = GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
         return out
-    ni, ps_p, pl_p, st_p = pad_items(
-        np.asarray(item_pstart, np.int32), np.asarray(item_plen, np.int32),
-        np.asarray(item_stok, np.int32))
-    valid, length2 = _two_batch(
-        index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-        index.device_query_tokens(queries), jnp.asarray(ps_p),
-        jnp.asarray(pl_p), jnp.asarray(st_p), mrs, mgs)
-    valid, length2 = (x[:ni] for x in jax.device_get((valid, length2)))
+    valid, length2 = chunked_batch(
+        lambda *a: _two_batch(
+            index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+            index.device_query_tokens(queries),
+            *(jnp.asarray(x) for x in a), mrs, mgs),
+        [np.asarray(item_pstart, np.int32), np.asarray(item_plen, np.int32),
+         np.asarray(item_stok, np.int32)])
     ii, mm = np.nonzero(valid)
     rows = np.stack([item_two[ii], item_pstart[ii], item_plen[ii],
                      length2[ii, mm].astype(np.int64)], axis=1)

@@ -23,6 +23,7 @@ import numpy as np
 
 from cgx_tpu.types import SEP, Pass1Result, Pass2Result
 from cgx_tpu.utils import batching
+from cgx_tpu.utils.batching import chunked_batch
 
 QPAD = 8  # guarded out-of-range query reads return -2 (never matches anything)
 
@@ -236,12 +237,12 @@ def pass1_tpu(index, queries) -> Pass1Result:
                     dtype=np.int32)
     toks = np.arange(n, dtype=np.int32)
     suffixlens = ends - toks
-    _, toks_p, sufl_p = batching.pad_items(toks, suffixlens)
-    out = _pass1_batch(
-        index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
-        index.device_query_tokens(queries), jnp.asarray(toks_p),
-        jnp.asarray(sufl_p), index.reflen)
-    lm, up, down, ffh, ffl, ffr = (x[:n] for x in jax.device_get(out))
+    lm, up, down, ffh, ffl, ffr = chunked_batch(
+        lambda a, b: _pass1_batch(
+            index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
+            index.device_query_tokens(queries), jnp.asarray(a),
+            jnp.asarray(b), index.reflen),
+        [toks, suffixlens])
     return Pass1Result(up=up, down=down, firstfindhit=ffh, firstfindhitL=ffl,
                        firstfindhitR=ffr, longestmatch=lm)
 
@@ -265,14 +266,12 @@ def pass2_tpu(index, queries, p1: Pass1Result) -> Pass2Result:
     if total == 0:
         return Pass2Result(connectoffset=connectoffset,
                            up=np.empty(0, np.int32), down=np.empty(0, np.int32))
-    _, toks_p, matches_p, LLs_p, MMs_p, RRs_p = batching.pad_items(
-        np.asarray(toks, np.int32), np.asarray(matches, np.int32),
-        np.asarray(LLs, np.int32), np.asarray(MMs, np.int32),
-        np.asarray(RRs, np.int32))
-    out = _pass2_batch(
-        index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
-        index.device_query_tokens(queries), jnp.asarray(toks_p),
-        jnp.asarray(matches_p), jnp.asarray(LLs_p), jnp.asarray(MMs_p),
-        jnp.asarray(RRs_p))
-    up, down = (x[:total] for x in jax.device_get(out))
+    up, down = chunked_batch(
+        lambda *a: _pass2_batch(
+            index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
+            index.device_query_tokens(queries),
+            *(jnp.asarray(x) for x in a)),
+        [np.asarray(toks, np.int32), np.asarray(matches, np.int32),
+         np.asarray(LLs, np.int32), np.asarray(MMs, np.int32),
+         np.asarray(RRs, np.int32)])
     return Pass2Result(connectoffset=connectoffset, up=up, down=down)

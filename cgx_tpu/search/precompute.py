@@ -30,7 +30,7 @@ from cgx_tpu.preproc.corpus import SourceCorpus
 from cgx_tpu.preproc.suffix_array import SAIndex
 from cgx_tpu.search.lookup import MMOV, _gap_check, _gap_check_grow, _prefix_ok
 from cgx_tpu.types import Precomp
-from cgx_tpu.utils.batching import pad_items
+from cgx_tpu.utils.batching import chunked_batch, pad_items
 
 
 def _fwd_item(refstr, rlp, l_tar, r_tar, mrs, mgs, gostart):

@@ -42,3 +42,28 @@ def pad_tokens(tokens: np.ndarray, fill) -> np.ndarray:
     if m == n:
         return tokens
     return np.concatenate([tokens, np.full(m - n, fill, tokens.dtype)])
+
+
+CHUNK = 16384  # max device items per dispatch: bounds HBM temps + compile size
+
+
+def chunked_batch(call, arrays, chunk: int = CHUNK):
+    """Run ``call(*padded_arrays) -> tuple/list of outputs with leading item axis``
+    over fixed-size chunks of the item axis; returns concatenated outputs sliced
+    to the real length.  Full chunks share one compiled program; the tail chunk is
+    bucket-padded."""
+    import jax
+
+    n = len(arrays[0])
+    parts = []
+    for s in range(0, max(n, 1), chunk):
+        piece = [a[s:s + chunk] for a in arrays]
+        ni = len(piece[0])
+        if ni == 0:
+            break
+        _, *padded = pad_items(*piece)
+        res = call(*padded)
+        parts.append([np.asarray(x)[:ni] for x in jax.device_get(res)])
+    if not parts:
+        return None
+    return [np.concatenate(cols) for cols in zip(*parts)]

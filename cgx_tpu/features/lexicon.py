@@ -336,26 +336,25 @@ KEYW = 16  # max rendered target symbols (span < max_rule_span)
 def _target_key_rows(tgt_str, ts, te, g1s=None, g1e=None, g2s=None, g2e=None):
     """[n, KEYW] numeric rendering keys; gaps collapse to one marker."""
     n = len(ts)
-    offs = np.arange(KEYW, dtype=np.int64)
-    pos = ts[:, None] + offs[None, :]
-    valid = pos <= te[:, None]
-    if g1s is None:
-        g1s = np.full(n, -10, dtype=np.int64)
-        g1e = np.full(n, -10, dtype=np.int64)
-    if g2s is None:
-        g2s = np.full(n, -10, dtype=np.int64)
-        g2e = np.full(n, -10, dtype=np.int64)
-    in1 = (pos >= g1s[:, None]) & (pos <= g1e[:, None])
-    in2 = (pos >= g2s[:, None]) & (pos <= g2e[:, None])
-    drop1 = np.where(pos > g1e[:, None], (g1e - g1s)[:, None], 0)
-    drop2 = np.where(pos > g2e[:, None], (g2e - g2s)[:, None], 0)
-    out_idx = (pos - ts[:, None]) - np.maximum(drop1, 0) - np.maximum(drop2, 0)
-    emit = valid & (~(in1 | in2) | (pos == g1s[:, None]) | (pos == g2s[:, None]))
-    tok = tgt_str[np.clip(pos, 0, len(tgt_str) - 1)].astype(np.int64)
-    sym = np.where(in1, -1, np.where(in2, -3, tok))
-    key = np.full((n, KEYW + 1), -2, dtype=np.int64)
-    oi = np.where(emit, np.clip(out_idx, 0, KEYW - 1), KEYW)
-    np.put_along_axis(key, oi, np.where(emit, sym, -2), axis=1)
+    i32 = np.int32
+    ts = ts.astype(i32)
+    te = te.astype(i32)
+    pos = ts[:, None] + np.arange(KEYW, dtype=i32)[None, :]
+    emit = pos <= te[:, None]
+    tok = tgt_str.astype(i32)[np.clip(pos, 0, len(tgt_str) - 1)]
+    out_idx = pos - ts[:, None]
+    for gs, ge, marker in ((g1s, g1e, -1), (g2s, g2e, -3)):
+        if gs is None:
+            continue
+        gs = gs.astype(i32)[:, None]
+        ge = ge.astype(i32)[:, None]
+        ing = (pos >= gs) & (pos <= ge)
+        np.copyto(tok, i32(marker), where=ing)
+        emit &= ~ing | (pos == gs)
+        out_idx -= np.where(pos > ge, ge - gs, i32(0))
+    key = np.full((n, KEYW + 1), -2, dtype=i32)
+    oi = np.where(emit, np.minimum(out_idx, KEYW - 1), KEYW).astype(np.int64)
+    np.put_along_axis(key, oi, np.where(emit, tok, i32(-2)), axis=1)
     return key[:, :KEYW]
 
 

@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persisted corpus-index dir (built on first use)")
     p.add_argument("--no-sample", action="store_true",
                    help="disable occurrence sampling (grammar.<i>.n outputs)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the run into DIR")
     p.add_argument("reffile")
     p.add_argument("qryfile")
     p.add_argument("reftargetfile")
@@ -53,6 +55,9 @@ def main(argv=None) -> int:
         DEFAULT_CONFIG, minmatchlen=args.minmatchlen, fingerlen=args.fingerlen,
         is_sample=not args.no_sample)
     t0 = time.perf_counter()
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
     if args.engine == "oracle":
         from cgx_tpu.oracle.pipeline import run_oracle_files
         run_oracle_files(args.reffile, args.qryfile, args.reftargetfile,
@@ -62,6 +67,9 @@ def main(argv=None) -> int:
         run_pipeline_files(args.reffile, args.qryfile, args.reftargetfile,
                            args.alignfile, args.lexfile, args.dest_dir, cfg,
                            index_dir=args.index_dir)
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
     wall = time.perf_counter() - t0
     print(f"total: {wall:.3f}s", file=sys.stderr)
     if args.timefile:

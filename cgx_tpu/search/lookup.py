@@ -332,10 +332,10 @@ def _fill_salist(start_arr, end_arr, positions):
 # twoGapLookUpSA: extend each aXb core to the right looking for c
 # ---------------------------------------------------------------------------
 
-def _two_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
-              pstart, plen, stok):
+def _two_item(refstr, rlp, l_tar, r_tar, mrs, mgs, pstart, plen):
+    """Scan one aXb core rightward once; the per-pattern c-token test is hoisted
+    to the host (every 2-gap pattern sharing the core sees the same scan)."""
     moves = jnp.arange(MMOV, dtype=jnp.int32)
-    pre_cache = qtokens[stok]
     gostart = pstart + plen
     gap0_bad = refstr[gostart + mgs] < 2
     pos = gostart + 1 + mgs + moves
@@ -344,18 +344,17 @@ def _two_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
     bad = temp < 2
     survive = ~bad & ~span_kill
     reach = _prefix_ok(survive) & ~gap0_bad
-    cand = reach & ~span_kill & ~bad & (temp == pre_cache)
+    cand = reach & ~span_kill & ~bad
     gc = _gap_check_grow(rlp, l_tar, r_tar, pstart + plen + 1, mgs - 1, mrs,
                          True)
-    valid = cand & gc
     length2 = plen + 1 + mgs + moves  # + el - 1 with el == 1
-    return valid, length2
+    return cand, temp, gc, length2
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
-def _two_batch(refstr, rlp, l_tar, r_tar, qtokens, pstart, plen, stok, mrs, mgs):
-    f = functools.partial(_two_item, refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs)
-    return jax.vmap(f)(pstart, plen, stok)
+def _two_batch(refstr, rlp, l_tar, r_tar, pstart, plen, mrs, mgs):
+    f = functools.partial(_two_item, refstr, rlp, l_tar, r_tar, mrs, mgs)
+    return jax.vmap(f)(pstart, plen)
 
 
 def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
@@ -364,36 +363,34 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
     from cgx_tpu.extract.device import _onegap_occurrences
     D2 = len(search2.blockid)
     mrs, mgs = cfg.max_rule_span, cfg.min_gap_size
-    # per distinct 1-gap pattern: full (unsampled) occurrence expansion with
-    # precomp-cell redirection; then map onto the 2-gap patterns sharing it
+    # Scan every distinct 1-gap pattern's cores ONCE (unsampled, precomp-expanded)
+    # and resolve each scan hit's c token against the 2-gap pattern set on the
+    # host.  The reference re-scans the shared cores per 2-gap pattern
+    # (GappyLook.cu:585-735); the emissions are identical with
+    # ~|patterns-per-core|x less device work.
     one_ids_all, css_all, fes_all = _onegap_occurrences(
         search1, onegap_sa, pc, 0, False)
-    # occurrences grouped by oneId; expand per twoId via counts
-    D1 = len(search1.qrystart)
-    per_one = np.bincount(one_ids_all, minlength=D1) if len(one_ids_all) else         np.zeros(D1, dtype=np.int64)
-    one_offs = np.concatenate([[0], np.cumsum(per_one)])[:-1]
-    oid = search2.blockid.astype(np.int64)
-    counts2 = per_one[oid]
-    item_two = np.repeat(np.arange(D2, dtype=np.int64), counts2)
-    offs2 = np.concatenate([[0], np.cumsum(counts2)])[:-1]
-    within = np.arange(int(counts2.sum()), dtype=np.int64) -         np.repeat(offs2, counts2)
-    src_row = one_offs[oid[item_two]] + within
-    item_pstart = css_all[src_row] if len(item_two) else item_two
-    item_plen = fes_all[src_row] if len(item_two) else item_two
-    item_stok = search2.gap2.astype(np.int64)[item_two] if len(item_two) else         item_two
-    if len(item_two) == 0:
-        out = GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
-        return out
-    valid, length2 = chunked_batch(
+    if len(one_ids_all) == 0 or D2 == 0:
+        return GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
+    cand, temp, gc, length2 = chunked_batch(
         lambda *a: _two_batch(
             index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-            index.device_query_tokens(queries),
             *(jnp.asarray(x) for x in a), mrs, mgs),
-        [np.asarray(item_pstart, np.int32), np.asarray(item_plen, np.int32),
-         np.asarray(item_stok, np.int32)])
-    ii, mm = np.nonzero(valid)
-    rows = np.stack([item_two[ii], item_pstart[ii], item_plen[ii],
-                     length2[ii, mm].astype(np.int64)], axis=1)
+        [css_all.astype(np.int32), fes_all.astype(np.int32)])
+    # sorted (oneId, c-token) -> twoId table; distinct patterns are unique pairs
+    ctok = np.asarray(queries.tokens)[search2.gap2].astype(np.int64)
+    keys = (search2.blockid.astype(np.int64) << 32) | ctok
+    korder = np.argsort(keys, kind="stable")
+    keys_sorted = keys[korder]
+    ii, mm = np.nonzero(cand)
+    want = (one_ids_all[ii] << 32) | temp[ii, mm].astype(np.int64)
+    ki = np.searchsorted(keys_sorted, want)
+    found = (ki < len(keys_sorted)) & \
+        (keys_sorted[np.minimum(ki, len(keys_sorted) - 1)] == want)
+    hit = found & gc[ii, mm]
+    two_id = korder[np.minimum(ki, len(korder) - 1)][hit]
+    rows = np.stack([two_id, css_all[ii][hit], fes_all[ii][hit],
+                     length2[ii, mm][hit].astype(np.int64)], axis=1)
     order = np.lexsort((rows[:, 3], rows[:, 2], rows[:, 1], rows[:, 0]))
     rows = rows[order]
     out = GapOnSA(position=rows[:, 0].astype(np.int32),

@@ -55,15 +55,16 @@ def chunked_batch(call, arrays, chunk: int = CHUNK):
     import jax
 
     n = len(arrays[0])
-    parts = []
+    pending = []
     for s in range(0, max(n, 1), chunk):
         piece = [a[s:s + chunk] for a in arrays]
         ni = len(piece[0])
         if ni == 0:
             break
         _, *padded = pad_items(*piece)
-        res = call(*padded)
-        parts.append([np.asarray(x)[:ni] for x in jax.device_get(res)])
-    if not parts:
+        pending.append((call(*padded), ni))   # async dispatch; fetch later
+    if not pending:
         return None
+    parts = [[np.asarray(x)[:ni] for x in jax.device_get(res)]
+             for res, ni in pending]
     return [np.concatenate(cols) for cols in zip(*parts)]

@@ -80,10 +80,51 @@ def _cummax(vals, mask, init):
     return jax.lax.associative_scan(jnp.maximum, x)
 
 
+def _tar_window_prefixes(l_tar, r_tar, anchor, H):
+    """One (2H+1)-wide gather of l_tar/r_tar around ``anchor`` plus bidirectional
+    prefix min/max scans.  Every consistency-check span consumed by the extraction
+    state machines has width < max_rule_span and contains its family's anchor
+    point, so range-min(L)/range-max(R) over [ts, te] decomposes into one
+    backward-prefix lookup at (anchor - ts) and one forward-prefix lookup at
+    (te - anchor) — replacing a fresh 16-wide gather per check (the reference
+    re-reads the window inside every consistent() call, ExtractPair.cu:103-133)."""
+    offs = jnp.arange(-H, H + 1, dtype=jnp.int32)
+    win = anchor + offs
+    winc = jnp.clip(win, 0, l_tar.shape[0] - 1)
+    L = l_tar[winc]
+    R = r_tar[winc]
+    al = (L != 255) & (R != 255)
+    Lv = jnp.where(al, L, 256)
+    Rv = jnp.where(al, R, -1)
+    fwdL = jax.lax.associative_scan(jnp.minimum, Lv[H:])
+    bwdL = jax.lax.associative_scan(jnp.minimum, Lv[:H + 1][::-1])
+    fwdR = jax.lax.associative_scan(jnp.maximum, Rv[H:])
+    bwdR = jax.lax.associative_scan(jnp.maximum, Rv[:H + 1][::-1])
+    return fwdL, bwdL, fwdR, bwdR
+
+
+def _win_check(prefixes, anchor, ts, te, start_chk, end_chk, sentstart, H):
+    """consistent() over target span [ts, te] answered from anchored-window
+    prefixes.  Exact for any span that contains ``anchor`` and has width <= H
+    (all consumed checks); empty spans (ts > te) reproduce the reference's
+    masked-reduce identity values (bmin=256, bmax=-1)."""
+    fwdL, bwdL, fwdR, bwdR = prefixes
+    lo = jnp.clip(anchor - ts, 0, H)
+    hi = jnp.clip(te - anchor, 0, H)
+    bmin = jnp.minimum(bwdL[lo], fwdL[hi])
+    bmax = jnp.maximum(bwdR[lo], fwdR[hi])
+    empty = ts > te
+    bmin = jnp.where(empty, 256, bmin)
+    bmax = jnp.where(empty, -1, bmax)
+    return (sentstart + bmin == start_chk) & (sentstart + bmax == end_chk)
+
+
 def _grow_side_arrays(refstr, rlp, l_tar, r_tar, base, step, sentstart, stb,
-                      span_lo_fn, span_hi_fn):
+                      span_lo_fn, span_hi_fn, H):
     """Per-step arrays for one growth side: token, aligned, prefix min/max of the
-    X span, and the X-gap consistency result (consistent(gap, [lo_i, hi_i]))."""
+    X span, and the X-gap consistency result (consistent(gap, [lo_i, hi_i])).
+    The IMAX gap spans are nested (prefix min/max), all containing the first
+    aligned step's (L, R) anchor, so one anchored window serves every check."""
     steps = jnp.arange(1, IMAX + 1, dtype=jnp.int32)
     pos = base + step * steps
     oob = pos < 0
@@ -93,12 +134,13 @@ def _grow_side_arrays(refstr, rlp, l_tar, r_tar, base, step, sentstart, stb,
     pmin = _cummin(L, al, jnp.int32(255))
     pmax = _cummax(R, al, jnp.int32(0))
 
-    def gap_ok(i0):
-        i = i0 + 1
-        return _consistent_dev(l_tar, r_tar, stb + pmin[i0], stb + pmax[i0],
-                               span_lo_fn(i), span_hi_fn(i), sentstart)
-
-    gconsist = jax.vmap(gap_ok)(jnp.arange(IMAX, dtype=jnp.int32))
+    first = jnp.argmax(al)
+    anchor = stb + L[first]          # unused when no step is aligned (all empty)
+    pref = _tar_window_prefixes(l_tar, r_tar, anchor, H)
+    i0s = jnp.arange(IMAX, dtype=jnp.int32)
+    gconsist = _win_check(pref, anchor, stb + pmin, stb + pmax,
+                          span_lo_fn(i0s + 1), span_hi_fn(i0s + 1),
+                          sentstart, H)
     return tok, al, pmin, pmax, gconsist
 
 
@@ -126,10 +168,13 @@ def _extract_contig_item(refstr, refsa, rlp, l_tar, r_tar, mrs, msym, sa_pos, lm
     abX = ~dead
     XabX = ~dead
 
-    ab_ok = ab & _consistent_dev(l_tar, r_tar, min_L + stb, max_R + stb,
-                                 cs, ender, sentstart)
+    H = mrs - 1
+    anchor = stb + jnp.minimum(min_L, 255)   # base-span anchor; dead => unused
+    base_pref = _tar_window_prefixes(l_tar, r_tar, anchor, H)
     ab_ts = min_L + stb
     ab_len = max_R - min_L
+    ab_ok = ab & _win_check(base_pref, anchor, ab_ts, max_R + stb,
+                            cs, ender, sentstart, H)
 
     Xab &= lm + 1 <= msym
     abX &= lm + 1 <= msym
@@ -138,40 +183,28 @@ def _extract_contig_item(refstr, refsa, rlp, l_tar, r_tar, mrs, msym, sa_pos, lm
     # per-step side arrays
     ltok, lal, lmin, lmax, lgap = _grow_side_arrays(
         refstr, rlp, l_tar, r_tar, cs, -1, sentstart, stb,
-        lambda i: cs - i, lambda i: cs - 1)
+        lambda i: cs - i, lambda i: cs - 1, H)
     rtok, ral, rmin, rmax, rgap = _grow_side_arrays(
         refstr, rlp, l_tar, r_tar, ender, 1, sentstart, stb,
-        lambda i: ender + 1, lambda i: ender + i)
+        lambda i: ender + 1, lambda i: ender + i, H)
 
-    # whole-span (one X) arrays
-    def whole_l(i0):
-        ts = stb + jnp.minimum(lmin[i0], min_L)
-        te = stb + jnp.maximum(lmax[i0], max_R)
-        ok = _consistent_dev(l_tar, r_tar, ts, te, cs - (i0 + 1), ender,
-                             sentstart)
-        return ts, te, ok
-
-    def whole_r(i0):
-        ts = stb + jnp.minimum(rmin[i0], min_L)
-        te = stb + jnp.maximum(rmax[i0], max_R)
-        ok = _consistent_dev(l_tar, r_tar, ts, te, cs, ender + (i0 + 1),
-                             sentstart)
-        return ts, te, ok
-
+    # whole-span (one X) arrays: spans all contain the base anchor
     ir = jnp.arange(IMAX, dtype=jnp.int32)
-    wl_ts, wl_te, wl_ok = jax.vmap(whole_l)(ir)
-    wr_ts, wr_te, wr_ok = jax.vmap(whole_r)(ir)
+    wl_ts = stb + jnp.minimum(lmin, min_L)
+    wl_te = stb + jnp.maximum(lmax, max_R)
+    wl_ok = _win_check(base_pref, anchor, wl_ts, wl_te, cs - (ir + 1), ender,
+                       sentstart, H)
+    wr_ts = stb + jnp.minimum(rmin, min_L)
+    wr_te = stb + jnp.maximum(rmax, max_R)
+    wr_ok = _win_check(base_pref, anchor, wr_ts, wr_te, cs, ender + (ir + 1),
+                       sentstart, H)
 
     # 2D XabX whole-span tables: a = left extent, b = right extent (1-based - 1)
-    def whole2(a0, b0):
-        ts = stb + jnp.minimum(jnp.minimum(lmin[a0], rmin[b0]), min_L)
-        te = stb + jnp.maximum(jnp.maximum(lmax[a0], rmax[b0]), max_R)
-        ok = _consistent_dev(l_tar, r_tar, ts, te, cs - (a0 + 1),
-                             ender + (b0 + 1), sentstart)
-        return ts, te, ok
-
-    aa, bb = jnp.meshgrid(ir, ir, indexing="ij")
-    w2_ts, w2_te, w2_ok = jax.vmap(jax.vmap(whole2))(aa, bb)
+    w2_ts = stb + jnp.minimum(jnp.minimum(lmin[:, None], rmin[None, :]), min_L)
+    w2_te = stb + jnp.maximum(jnp.maximum(lmax[:, None], rmax[None, :]), max_R)
+    w2_ok = _win_check(base_pref, anchor, w2_ts, w2_te,
+                       cs - (ir[:, None] + 1), ender + (ir[None, :] + 1),
+                       sentstart, H)
 
     # sequential growth as fori_loops (mirrors ExtractPair.cu:1280-1791);
     # rolled loops keep the XLA graph small (compile time) at identical semantics
@@ -429,30 +462,25 @@ def _extract_onegap_item(refstr, rlp, l_tar, r_tar, mrs, msym, cs, first_end,
     left &= grow
     right &= grow
 
+    H = mrs - 1
+    anchor = stb + jnp.minimum(min_L, 255)
+    base_pref = _tar_window_prefixes(l_tar, r_tar, anchor, H)
     ltok, lal, lmin, lmax, lgap = _grow_side_arrays(
         refstr, rlp, l_tar, r_tar, cs, -1, sentstart, stb,
-        lambda i: cs - i, lambda i: cs - 1)
+        lambda i: cs - i, lambda i: cs - 1, H)
     rtok, ral, rmin, rmax, rgap = _grow_side_arrays(
         refstr, rlp, l_tar, r_tar, ender, 1, sentstart, stb,
-        lambda i: ender + 1, lambda i: ender + i)
-
-    def whole_l(i0):
-        ts2 = stb + jnp.minimum(lmin[i0], min_L)
-        te2 = stb + jnp.maximum(lmax[i0], max_R)
-        ok = _consistent_dev(l_tar, r_tar, ts2, te2, cs - (i0 + 1), ender,
-                             sentstart)
-        return ts2, te2, ok
-
-    def whole_r(i0):
-        ts2 = stb + jnp.minimum(rmin[i0], min_L)
-        te2 = stb + jnp.maximum(rmax[i0], max_R)
-        ok = _consistent_dev(l_tar, r_tar, ts2, te2, cs, ender + (i0 + 1),
-                             sentstart)
-        return ts2, te2, ok
+        lambda i: ender + 1, lambda i: ender + i, H)
 
     ir = jnp.arange(IMAX, dtype=jnp.int32)
-    wl_ts, wl_te, wl_ok = jax.vmap(whole_l)(ir)
-    wr_ts, wr_te, wr_ok = jax.vmap(whole_r)(ir)
+    wl_ts = stb + jnp.minimum(lmin, min_L)
+    wl_te = stb + jnp.maximum(lmax, max_R)
+    wl_ok = _win_check(base_pref, anchor, wl_ts, wl_te, cs - (ir + 1), ender,
+                       sentstart, H)
+    wr_ts = stb + jnp.minimum(rmin, min_L)
+    wr_te = stb + jnp.maximum(rmax, max_R)
+    wr_ok = _win_check(base_pref, anchor, wr_ts, wr_te, cs, ender + (ir + 1),
+                       sentstart, H)
 
     def outer_body(i, st):
         left, right, xaxb, axbx = st

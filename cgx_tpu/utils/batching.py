@@ -44,23 +44,48 @@ def pad_tokens(tokens: np.ndarray, fill) -> np.ndarray:
     return np.concatenate([tokens, np.full(m - n, fill, tokens.dtype)])
 
 
-CHUNK = 16384  # max device items per dispatch: bounds HBM temps + compile size
+# Max device items per dispatch.  Each dispatch pays a host->device round trip
+# (tens of ms through the axon relay), so chunks are as large as HBM temps allow;
+# the anchored-window kernels keep per-item temps to a few KB.
+CHUNK = 131072
+
+
+MIN_CHUNK = 4096  # floor of the pow2 decomposition; below this the tail is padded
+
+
+def chunk_plan(n: int, chunk: int = CHUNK):
+    """Split n items into power-of-two dispatch sizes: full CHUNKs, then a greedy
+    binary decomposition of the remainder down to MIN_CHUNK, then one bucket-padded
+    tail.  Keeps padding waste < MIN_CHUNK while reusing a fixed set of compiled
+    shapes (every dispatch size is a power of two >= MIN_BUCKET)."""
+    sizes = []
+    while n >= chunk:
+        sizes.append(chunk)
+        n -= chunk
+    size = chunk >> 1
+    while size >= MIN_CHUNK:
+        if n >= size:
+            sizes.append(size)
+            n -= size
+        size >>= 1
+    if n > 0:
+        sizes.append(n)  # bucket-padded by pad_items
+    return sizes
 
 
 def chunked_batch(call, arrays, chunk: int = CHUNK):
     """Run ``call(*padded_arrays) -> tuple/list of outputs with leading item axis``
-    over fixed-size chunks of the item axis; returns concatenated outputs sliced
-    to the real length.  Full chunks share one compiled program; the tail chunk is
-    bucket-padded."""
+    over pow2-sized chunks of the item axis; returns concatenated outputs sliced
+    to the real length.  Dispatches are asynchronous (fetched together at the end),
+    so per-dispatch round-trip latency overlaps with device compute."""
     import jax
 
     n = len(arrays[0])
     pending = []
-    for s in range(0, max(n, 1), chunk):
-        piece = [a[s:s + chunk] for a in arrays]
-        ni = len(piece[0])
-        if ni == 0:
-            break
+    s = 0
+    for ni in chunk_plan(n, chunk):
+        piece = [a[s:s + ni] for a in arrays]
+        s += ni
         _, *padded = pad_items(*piece)
         pending.append((call(*padded), ni))   # async dispatch; fetch later
     if not pending:

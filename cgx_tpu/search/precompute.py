@@ -28,52 +28,59 @@ import numpy as np
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.preproc.corpus import SourceCorpus
 from cgx_tpu.preproc.suffix_array import SAIndex
-from cgx_tpu.search.lookup import MMOV, _gap_check, _gap_check_grow, _prefix_ok
+from cgx_tpu.search.lookup import MMOV, _gap_check_grow
 from cgx_tpu.types import Precomp
-from cgx_tpu.utils.batching import chunked_batch, pad_items
+from cgx_tpu.utils.batching import chunked_batch
 
 
-def _fwd_item(refstr, rlp, l_tar, r_tar, mrs, mgs, gostart):
-    """Forward scan: all (move) candidates with their partner token and gap check
-    (GappyLook.cu:787-822, per-cell token test hoisted to the host)."""
-    moves = jnp.arange(MMOV, dtype=jnp.int32)
-    gap0_bad = refstr[gostart + mgs] < 2
-    pos = gostart + 1 + mgs + moves
-    temp = refstr[jnp.minimum(pos, refstr.shape[0] - 1)]
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd"))
+def _gc_batch(rlp, l_tar, r_tar, gostart, mrs, mgs, fwd):
+    """Gap checks for all MMOV moves of each occurrence; the token scan,
+    membership, and ownership tests run on the host (numpy) so only occurrences
+    that own at least one cell candidate reach the device."""
+    anchor = gostart + 1 if fwd else gostart - 1
+    f = functools.partial(_gap_check_grow, rlp, l_tar, r_tar)
+    return jax.vmap(lambda a: f(a, mgs - 1, mrs, fwd))(anchor)
+
+
+def _host_scan(refstr, tokens, counts, tok_idx, gostart, mrs, mgs, fwd):
+    """Vectorized host transcription of the per-occurrence partner scan
+    (GappyLook.cu:787-822 fwd / :824-861 bwd): partner token per move, sequential
+    early-exit (prefix-AND), top-list membership, and cell ownership."""
+    n = len(gostart)
+    P = len(tokens)
+    moves = np.arange(MMOV)
+    if fwd:
+        pos = gostart[:, None] + 1 + mgs + moves[None, :]
+        oob = np.zeros((n, MMOV), dtype=bool)
+        gap0_bad = refstr[np.minimum(gostart + mgs, len(refstr) - 1)] < 2
+    else:
+        pos = gostart[:, None] - 1 - mgs - moves[None, :]
+        oob = pos < 0
+        gap0_bad = (gostart - mgs >= 0) & \
+            (refstr[np.maximum(gostart - mgs, 0)] < 2)
+    temp = np.where(oob, -1, refstr[np.clip(pos, 0, len(refstr) - 1)])
     bad = temp < 2
+    reach = np.ones((n, MMOV), dtype=bool)
+    reach[:, 1:] = np.cumprod(~bad[:, :-1], axis=1).astype(bool)
     span_ok = 1 + mgs + moves + 1 <= mrs
-    scan_ok = _prefix_ok(~bad) & span_ok & ~gap0_bad & ~bad
-    gc = _gap_check_grow(rlp, l_tar, r_tar, gostart + 1, mgs - 1, mrs, True)
-    start = jnp.broadcast_to(gostart, (MMOV,))
-    length = moves + 1 + mgs
-    return scan_ok, temp, gc, start, length
-
-
-def _bwd_item(refstr, rlp, l_tar, r_tar, mrs, mgs, gostart):
-    moves = jnp.arange(MMOV, dtype=jnp.int32)
-    gap0_bad = (gostart - mgs >= 0) & (refstr[jnp.maximum(gostart - mgs, 0)] < 2)
-    pos = gostart - 1 - mgs - moves
-    oob = pos < 0
-    temp = jnp.where(oob, jnp.int32(-1), refstr[jnp.maximum(pos, 0)])
-    bad = oob | (temp < 2)
-    span_ok = 1 + mgs + moves + 1 <= mrs
-    scan_ok = _prefix_ok(~bad) & span_ok & ~gap0_bad & ~bad
-    gc = _gap_check_grow(rlp, l_tar, r_tar, gostart - 1, mgs - 1, mrs, False)
-    start = pos
-    length = moves + 1 + mgs
-    return scan_ok, temp, gc, start, length
-
-
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
-def _fwd_batch(refstr, rlp, l_tar, r_tar, gostart, mrs, mgs):
-    f = functools.partial(_fwd_item, refstr, rlp, l_tar, r_tar, mrs, mgs)
-    return jax.vmap(f)(gostart)
-
-
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
-def _bwd_batch(refstr, rlp, l_tar, r_tar, gostart, mrs, mgs):
-    f = functools.partial(_bwd_item, refstr, rlp, l_tar, r_tar, mrs, mgs)
-    return jax.vmap(f)(gostart)
+    scan_ok = reach & ~bad & span_ok[None, :] & ~gap0_bad[:, None]
+    ib = np.searchsorted(tokens, temp)
+    member = (ib < P) & (tokens[np.minimum(ib, P - 1)] == temp)
+    cnt_p = counts[np.minimum(ib, P - 1)]
+    mine = counts[tok_idx][:, None]
+    if fwd:
+        owns = scan_ok & member & (cnt_p >= mine)
+        cell = tok_idx[:, None] * P + ib
+    else:
+        owns = scan_ok & member & (cnt_p > mine)
+        cell = ib * P + tok_idx[:, None]
+    if fwd:
+        start = np.broadcast_to(gostart[:, None], (n, MMOV))
+    else:
+        start = pos
+    length = np.broadcast_to(moves + 1 + mgs, (n, MMOV))
+    return owns, cell, start, length
 
 
 def top_tokens(source: SourceCorpus, sa: SAIndex, cfg: ExtractorConfig):
@@ -109,34 +116,27 @@ def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
     tx = np.arange(int(counts.sum())) - np.repeat(offs, counts)
     gostart = sa_host[np.repeat(run_start, counts) + tx].astype(np.int32)
 
+    refstr_host = np.asarray(source.str_)
     rows_parts = []
     missing = np.zeros(P * P, dtype=np.int32)
     for fwd in (True, False):
-        fn = _fwd_batch if fwd else _bwd_batch
-        ni, g_p = pad_items(gostart)
-        scan_ok, temp, gc, start, length = fn(
-            index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
-            jnp.asarray(g_p), mrs, mgs)
-        scan_ok, temp, gc, start, length = (
-            x[:ni] for x in jax.device_get((scan_ok, temp, gc, start, length)))
-        ii, mm = np.nonzero(scan_ok)
-        partners = temp[ii, mm]
-        ib = np.searchsorted(tokens, partners)
-        member = (ib < P) & (tokens[np.minimum(ib, P - 1)] == partners)
-        my = tok_idx[ii]
-        cnt_p = counts[np.minimum(ib, P - 1)]
-        if fwd:
-            owns = member & (cnt_p >= counts[my])
-            cell = my * P + ib
-        else:
-            owns = member & (cnt_p > counts[my])
-            cell = ib * P + my
-        hit = owns & gc[ii, mm]
-        miss = owns & ~gc[ii, mm]
-        np.add.at(missing, cell[miss], 1)
+        owns, cell, start, length = _host_scan(
+            refstr_host, tokens, counts, tok_idx, gostart.astype(np.int64),
+            mrs, mgs, fwd)
+        live = np.flatnonzero(owns.any(axis=1))
+        if not len(live):
+            continue
+        gc = chunked_batch(
+            lambda g: (_gc_batch(index.rlp, index.l_tar, index.r_tar,
+                                 jnp.asarray(g), mrs, mgs, fwd),),
+            [gostart[live]])[0]
+        ii_l, mm = np.nonzero(owns[live])
+        ii = live[ii_l]
+        hit = gc[ii_l, mm]
+        np.add.at(missing, cell[ii, mm][~hit], 1)
         if hit.any():
             rows_parts.append(np.stack([
-                cell[hit], start[ii, mm][hit].astype(np.int64),
+                cell[ii, mm][hit], start[ii, mm][hit].astype(np.int64),
                 length[ii, mm][hit].astype(np.int64)], axis=1))
 
     if rows_parts:

@@ -8,6 +8,8 @@ float32 conventions of DESIGN.md live here.
 
 from __future__ import annotations
 
+import dataclasses as _dc
+
 import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
@@ -328,9 +330,53 @@ def updown_index(rules, total_ids: int) -> np.ndarray:
 # [X,1], -3 for [X,2]) plus the converted rule id (group boundaries are id
 # boundaries).  Counts/fsample/feature plumbing identical; strings are built only
 # for distinct rules.  tests/test_fast_host.py enforces equality with the slow spec.
+#
+# Feature math (fsample clamp, f, paircount, aa/bb/fsample_score in the exact
+# float32 convention of DESIGN.md) and the MaxLex task fields are computed as
+# numpy arrays over the distinct-rule axis; only rule-string rendering stays in a
+# Python loop.  The fast functions return (rules, TaskArrays) — the TaskArrays rows
+# are the family's distinct rules in order (fast_speed_id == row index).
 # ---------------------------------------------------------------------------
 
 KEYW = 16  # max rendered target symbols (span < max_rule_span)
+SRCW = 5   # max source words per rule (MAX_rule_symbols)
+
+
+@_dc.dataclass
+class TaskArrays:
+    """Dense MaxLex work items for one rule family (lexicalTask,
+    ComTypes.h:376-389): row d scores the family's distinct rule d."""
+
+    src_pat: np.ndarray   # int32 [n, SRCW], -99 pad
+    t0: np.ndarray        # int32 [n] target start
+    tend: np.ndarray      # int32 [n] offset of last target token
+    g1: np.ndarray        # int32 [n] gap offsets rel. t0; -1 = none
+    g11: np.ndarray
+    g2: np.ndarray
+    g21: np.ndarray
+
+
+def _compact_pattern_rows(pat):
+    """Left-compact the >=0 token ids of enumeration pattern rows
+    (gaps -1 / pads -2 dropped), -99 padding."""
+    pat = pat[:, :SRCW] if pat.shape[1] >= SRCW else np.concatenate(
+        [pat, np.full((len(pat), SRCW - pat.shape[1]), -2, pat.dtype)], axis=1)
+    valid = pat >= 0
+    order = np.argsort(~valid, axis=1, kind="stable")
+    comp = np.take_along_axis(pat, order, axis=1).astype(np.int32)
+    comp[~np.take_along_axis(valid, order, axis=1)] = -99
+    return comp
+
+
+def _block_pattern_rows(source, blocks, bids):
+    """Source token ids of contiguous blocks as [n, SRCW] rows."""
+    refstr = np.asarray(source.str_)
+    ss = blocks.string_start.astype(np.int64)[bids]
+    ml = blocks.matchlen.astype(np.int64)[bids]
+    pos = ss[:, None] + np.arange(SRCW)
+    m = np.arange(SRCW)[None, :] < ml[:, None]
+    return np.where(m, refstr[np.clip(pos, 0, len(refstr) - 1)],
+                    -99).astype(np.int32)
 
 
 def _target_key_rows(tgt_str, ts, te, g1s=None, g1e=None, g2s=None, g2e=None):
@@ -384,74 +430,118 @@ def _render_target(target: TargetCorpus, key_row) -> str:
     return " ".join(parts)
 
 
-def _finalize_fast(cids, first_idx, counts, fsample_arr, fsample_of, lex_of,
-                   task_of, cfg, tasks, kind):
+def _render_targets(target: TargetCorpus, key_rows) -> list:
+    """Batch _render_target: object-array symbol lookup + per-row join."""
+    idw = target.vocab.id_to_word
+    ext = np.empty(len(idw) + 3, dtype=object)
+    ext[3:] = idw
+    ext[0] = X2        # marker -3
+    ext[1] = ""        # pad -2 (cut below)
+    ext[2] = X1        # marker -1
+    words = ext[key_rows + 3]
+    pad = key_rows == -2
+    n = np.where(pad.any(axis=1), pad.argmax(axis=1), key_rows.shape[1])
+    return [" ".join(w[:c]) for w, c in zip(words, n)]
+
+
+def _finalize_fast(cids, first_idx, counts, fsample_arr, fs_dist, src_of,
+                   keys, target, cfg):
+    """Distinct-rule finalization with vectorized feature math: fsample clamp,
+    SampleCountF/CountEF/EgivenFCoherent in the reference's float32 order."""
+    cid_d = cids[first_idx].astype(np.int64)
+    fs = fs_dist.astype(np.int64)
+    if cfg.is_sample:
+        fs = np.minimum(fs, cfg.sampler)
+    fscore = np.log10((1 + fs).astype(np.float64)).astype(np.float32)
+    pc = counts.astype(np.int64)
+    ratio = pc.astype(np.float32) / fs.astype(np.float32)
+    aa = (-np.log10(ratio)).astype(np.float32)
+    bb = np.log10((1 + pc).astype(np.float64)).astype(np.float32)
+    f_arr = fsample_arr[cid_d]
+    tgt_strs = _render_targets(target, keys[first_idx])
     rules = []
     for d in range(len(first_idx)):
         i = int(first_idx[d])
-        cid = int(cids[i])
-        fs = fsample_of(i, cid)
-        if cfg.is_sample and fs > cfg.sampler:
-            fs = cfg.sampler
-        tasks.append(task_of(i, d))
         rules.append(FastSpeed(
-            blocknumber=cid, lexical=lex_of(i), fsample=fs,
-            fsample_score=_fsample_score(fs), f=int(fsample_arr[cid]),
-            paircount=int(counts[d])))
-    _finish_aa_bb(rules)
+            blocknumber=int(cid_d[d]),
+            lexical=src_of(i) + " ||| " + tgt_strs[d],
+            fsample=int(fs[d]), fsample_score=fscore[d], f=int(f_arr[d]),
+            paircount=int(pc[d]), aa=aa[d], bb=bb[d]))
     return rules
+
+
+def _empty_tasks():
+    z = np.empty(0, np.int32)
+    return TaskArrays(src_pat=np.empty((0, SRCW), np.int32), t0=z, tend=z,
+                      g1=z, g11=z, g2=z, g21=z)
 
 
 def fast_create_lexicon_contig(contig: ContigRules, source: SourceCorpus,
                                target: TargetCorpus, blocks: Blocks,
-                               cfg: ExtractorConfig, tasks: list):
+                               cfg: ExtractorConfig):
     """Vectorized createLexiconFast (ExtractPair.c:515-662)."""
     G = len(blocks.start)
     n = len(contig.blocknumber)
     if n == 0:
-        return []
+        return [], _empty_tasks()
     cid = contig.blocknumber.astype(np.int64)
     fsample_arr = np.bincount(cid, minlength=G)
     ts = contig.tar_start.astype(np.int64)
     te = ts + contig.tar_end.astype(np.int64)
     keys = _target_key_rows(np.asarray(target.str_), ts, te)
     first_idx, inv, counts = _dedup(cid, keys)
+    cid_d = cid[first_idx]
+    fs_dist = 1 + blocks.end.astype(np.int64)[cid_d] \
+        - blocks.start.astype(np.int64)[cid_d]
     src_names = {}
 
-    def lex_of(i):
+    def src_of(i):
         b = int(cid[i])
         if b not in src_names:
             src_names[b] = _source_name(source, blocks, b)
-        return (src_names[b] + " ||| "
-                + _render_target(target, keys[i]))
+        return src_names[b]
 
-    def fsample_of(i, c):
-        return 1 + int(blocks.end[c]) - int(blocks.start[c])
+    nd = len(first_idx)
+    m1 = np.full(nd, -1, np.int32)
+    tasks = TaskArrays(
+        src_pat=_block_pattern_rows(source, blocks, cid_d),
+        t0=ts[first_idx].astype(np.int32),
+        tend=contig.tar_end.astype(np.int32)[first_idx],
+        g1=m1, g11=m1, g2=m1, g21=m1)
+    rules = _finalize_fast(cid, first_idx, counts, fsample_arr, fs_dist,
+                           src_of, keys, target, cfg)
+    return rules, tasks
 
-    def task_of(i, d):
-        b = int(cid[i])
-        ss = int(blocks.string_start[b])
-        ml = int(blocks.matchlen[b])
-        return LexTask(fast_speed_id=d,
-                       source_pattern=[int(source.str_[ss + k]) for k in range(ml)],
-                       target_start=int(ts[i]), end=int(contig.tar_end[i]),
-                       kind="contig")
 
-    return _finalize_fast(cid, first_idx, counts, fsample_arr, fsample_of,
-                          lex_of, task_of, cfg, tasks, "contig")
+def _onegap_fs_dist(search1, onegap_sa, pc, oid):
+    """Vectorized per-distinct-pattern sample size with the precomp
+    feature_missing correction (ExtractPair.c:899-908)."""
+    so = search1.start_on_salist.astype(np.int64)[oid]
+    eo = search1.end_on_salist.astype(np.int64)[oid]
+    fs = 1 + eo - so
+    if len(onegap_sa.length):
+        soc = np.clip(so, 0, len(onegap_sa.length) - 1)
+        pcmode = (fs == 1) & (onegap_sa.length[soc] == 0)
+        pci = np.clip(onegap_sa.str_position.astype(np.int64)[soc], 0,
+                      len(pc.index_start) - 1)
+        fs_pc = (1 - pc.index_start.astype(np.int64)[pci]
+                 + pc.index_end.astype(np.int64)[pci]
+                 + pc.feature_missing.astype(np.int64)[pci])
+        fs = np.where(pcmode, fs_pc, fs)
+    return fs
 
 
 def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
                                target: TargetCorpus, blocks: Blocks,
                                search1: OneGapSearch, enum1: OneGapEnum,
                                onegap_sa: GapOnSA, pc: Precomp, separator: int,
-                               cfg: ExtractorConfig, tasks: list):
+                               cfg: ExtractorConfig):
     """Vectorized createLexiconGappyFast (ExtractPair.c:664-936)."""
     G = len(blocks.start)
     D1 = len(search1.qrystart)
     n = len(rules1.gappy_index)
     if n == 0:
-        return []
+        return [], _empty_tasks()
     gi = rules1.gappy_index.astype(np.int64)
     seg2 = np.arange(n) >= separator
     cid = np.where(seg2, 2 * G + gi, gi)
@@ -462,46 +552,49 @@ def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
     g1e = ts + rules1.gap1_1.astype(np.int64)
     keys = _target_key_rows(np.asarray(target.str_), ts, te, g1s, g1e)
     first_idx, inv, counts = _dedup(cid, keys)
+
+    seg2_d = seg2[first_idx]
+    gi_d = gi[first_idx]
+    base_d = np.where(gi_d < G, gi_d, gi_d - G)
+    base_c = np.clip(base_d, 0, max(G - 1, 0))
+    fs_blk = 1 + blocks.end.astype(np.int64)[base_c] \
+        - blocks.start.astype(np.int64)[base_c]
+    oid_c = np.clip(gi_d, 0, max(D1 - 1, 0))
+    fs_gap = _onegap_fs_dist(search1, onegap_sa, pc, oid_c) if D1 else fs_blk
+    fs_dist = np.where(seg2_d, fs_gap, fs_blk)
+
+    pos_c = np.clip(search1.position.astype(np.int64)[oid_c], 0,
+                    max(len(enum1.number) - 1, 0))
+    pat_rows = _compact_pattern_rows(enum1.pattern[pos_c]) \
+        if len(enum1.number) else np.full((len(first_idx), SRCW), -99, np.int32)
+    src_pat = np.where(seg2_d[:, None], pat_rows,
+                       _block_pattern_rows(source, blocks, base_c))
+    m1 = np.full(len(first_idx), -1, np.int32)
+    tasks = TaskArrays(
+        src_pat=src_pat, t0=ts[first_idx].astype(np.int32),
+        tend=rules1.end.astype(np.int32)[first_idx],
+        g1=rules1.gap1.astype(np.int32)[first_idx],
+        g11=rules1.gap1_1.astype(np.int32)[first_idx],
+        g2=m1, g21=m1)
+
     src_cache = {}
 
     def src_of(i):
         c = int(cid[i])
         if c not in src_cache:
-            if not seg2[i]:
+            if i < separator:
                 if c < G:
-                    src_cache[c] = (X1 + " " + _source_name(source, blocks, c),
-                                    _block_ids(source, blocks, c))
+                    src_cache[c] = X1 + " " + _source_name(source, blocks, c)
                 else:
-                    src_cache[c] = (_source_name(source, blocks, c - G) + " " + X1,
-                                    _block_ids(source, blocks, c - G))
+                    src_cache[c] = _source_name(source, blocks, c - G) + " " + X1
             else:
-                s, ids = _onegap_source(search1, enum1, int(gi[i]), source)
-                src_cache[c] = (s, ids)
+                src_cache[c] = _onegap_source(search1, enum1, int(gi[i]),
+                                              source)[0]
         return src_cache[c]
 
-    def lex_of(i):
-        return src_of(i)[0] + " ||| " + _render_target(target, keys[i])
-
-    def fsample_of(i, c):
-        if not seg2[i]:
-            base = c if c < G else c - G
-            return 1 + int(blocks.end[base]) - int(blocks.start[base])
-        oid = int(gi[i])
-        fs = 1 + int(search1.end_on_salist[oid]) - int(search1.start_on_salist[oid])
-        if fs == 1 and int(onegap_sa.length[int(search1.start_on_salist[oid])]) == 0:
-            pci = int(onegap_sa.str_position[int(search1.start_on_salist[oid])])
-            fs = (1 - int(pc.index_start[pci]) + int(pc.index_end[pci])
-                  + int(pc.feature_missing[pci]))
-        return fs
-
-    def task_of(i, d):
-        return LexTask(fast_speed_id=d, source_pattern=list(src_of(i)[1]),
-                       target_start=int(ts[i]), end=int(rules1.end[i]),
-                       gap1=int(rules1.gap1[i]), gap1_1=int(rules1.gap1_1[i]),
-                       kind="onegap")
-
-    return _finalize_fast(cid, first_idx, counts, fsample_arr, fsample_of,
-                          lex_of, task_of, cfg, tasks, "onegap")
+    rules = _finalize_fast(cid, first_idx, counts, fsample_arr, fs_dist,
+                           src_of, keys, target, cfg)
+    return rules, tasks
 
 
 def _block_ids(source, blocks, b):
@@ -516,14 +609,14 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
                                search2: TwoGapSearch, enum2: TwoGapEnum,
                                onegap_sa: GapOnSA, pc: Precomp,
                                sep1: int, sep2: int,
-                               cfg: ExtractorConfig, tasks: list):
+                               cfg: ExtractorConfig):
     """Vectorized createLexiconTwoGapFast (ExtractPair.c:939-1276)."""
     G = len(blocks.start)
     D1 = len(search1.qrystart)
     D2 = len(search2.blockid)
     n = len(rules2.gappy_index)
     if n == 0:
-        return []
+        return [], _empty_tasks()
     gi = rules2.gappy_index.astype(np.int64)
     idx = np.arange(n)
     cid = np.where(idx < sep1, gi,
@@ -537,6 +630,56 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
     g2e = ts + rules2.gap2_1.astype(np.int64)
     keys = _target_key_rows(np.asarray(target.str_), ts, te, g1s, g1e, g2s, g2e)
     first_idx, inv, counts = _dedup(cid, keys)
+
+    # distinct-rule segments + fsample
+    gi_d = gi[first_idx]
+    segA = first_idx < sep1                      # XabX by block
+    segB = (first_idx >= sep1) & (first_idx < sep2)  # aXbXc by twoId
+    blk_c = np.clip(gi_d, 0, max(G - 1, 0))
+    fsA = 1 + blocks.end.astype(np.int64)[blk_c] \
+        - blocks.start.astype(np.int64)[blk_c]
+    two_c = np.clip(gi_d, 0, max(D2 - 1, 0))
+    fsB = (1 + search2.end_on_salist.astype(np.int64)[two_c]
+           - search2.start_on_salist.astype(np.int64)[two_c]) if D2 else fsA
+    rid = np.where(gi_d >= D1, gi_d - D1, gi_d)
+    rid_c = np.clip(rid, 0, max(D1 - 1, 0))
+    fsC = _onegap_fs_dist(search1, onegap_sa, pc, rid_c) if D1 else fsA
+    fs_dist = np.where(segA, fsA, np.where(segB, fsB, fsC))
+
+    # task source patterns per segment
+    nd = len(first_idx)
+    if len(enum1.number):
+        pos1 = np.clip(search1.position.astype(np.int64)[rid_c], 0,
+                       len(enum1.number) - 1)
+        patC = _compact_pattern_rows(enum1.pattern[pos1])
+    else:
+        patC = np.full((nd, SRCW), -99, np.int32)
+    src_pat = np.where(segA[:, None],
+                       _block_pattern_rows(source, blocks, blk_c), patC)
+    if D2 and segB.any():
+        one_of_two = np.clip(search2.blockid.astype(np.int64)[two_c], 0,
+                             max(D1 - 1, 0))
+        posB = np.clip(search1.position.astype(np.int64)[one_of_two], 0,
+                       len(enum1.number) - 1)
+        patB = _compact_pattern_rows(enum1.pattern[posB])
+        pos2 = np.clip(search2.position.astype(np.int64)[two_c], 0,
+                       max(len(enum2.number) - 1, 0))
+        ncore = (patB != -99).sum(axis=1)
+        for jj in range(enum2.pattern.shape[1]):
+            have = jj < enum2.number.astype(np.int64)[pos2]
+            col = np.clip(ncore + jj, 0, SRCW - 1)
+            vals = enum2.pattern[pos2, jj]
+            rowsel = segB & have
+            patB[np.arange(nd)[rowsel], col[rowsel]] = vals[rowsel]
+        src_pat = np.where(segB[:, None], patB, src_pat)
+    tasks = TaskArrays(
+        src_pat=src_pat.astype(np.int32), t0=ts[first_idx].astype(np.int32),
+        tend=rules2.end.astype(np.int32)[first_idx],
+        g1=rules2.gap1.astype(np.int32)[first_idx],
+        g11=rules2.gap1_1.astype(np.int32)[first_idx],
+        g2=rules2.gap2.astype(np.int32)[first_idx],
+        g21=rules2.gap2_1.astype(np.int32)[first_idx])
+
     src_cache = {}
 
     def src_of(i):
@@ -546,18 +689,13 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
         g = int(gi[i])
         if i < sep1:  # XabX
             s = X1 + " " + _source_name(source, blocks, g) + " " + X2
-            ids = _block_ids(source, blocks, g)
         elif i < sep2:  # aXbXc
             one_id = int(search2.blockid[g])
-            s0, ids = _onegap_source(search1, enum1, one_id, source)
-            ids = list(ids)
+            s0, _ = _onegap_source(search1, enum1, one_id, source)
             pos2 = int(search2.position[g])
             num2 = int(enum2.number[pos2])
-            tail = []
-            for jj in range(num2):
-                pv = int(enum2.pattern[pos2][jj])
-                ids.append(pv)
-                tail.append(source.vocab.id_to_word[pv])
+            tail = [source.vocab.id_to_word[int(enum2.pattern[pos2][jj])]
+                    for jj in range(num2)]
             s = s0 + " " + X2 + " " + " ".join(tail)
         else:  # XaXb / aXbX
             xaxb = g < D1
@@ -566,44 +704,16 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
             number = int(enum1.number[pos])
             pat = enum1.pattern[pos]
             parts = [X1] if xaxb else []
-            ids = []
             for jj in range(number):
                 pv = int(pat[jj])
-                if pv >= 0:
-                    ids.append(pv)
-                    parts.append(source.vocab.id_to_word[pv])
-                else:
-                    parts.append(X2 if xaxb else X1)
+                parts.append(source.vocab.id_to_word[pv] if pv >= 0
+                             else (X2 if xaxb else X1))
             if not xaxb:
                 parts.append(X2)
             s = " ".join(parts)
-        src_cache[c] = (s, ids)
-        return src_cache[c]
+        src_cache[c] = s
+        return s
 
-    def lex_of(i):
-        return src_of(i)[0] + " ||| " + _render_target(target, keys[i])
-
-    def fsample_of(i, c):
-        g = int(gi[i])
-        if i < sep1:
-            return 1 + int(blocks.end[g]) - int(blocks.start[g])
-        if i < sep2:
-            return (1 + int(search2.end_on_salist[g])
-                    - int(search2.start_on_salist[g]))
-        rid = g - D1 if g >= D1 else g
-        fs = 1 + int(search1.end_on_salist[rid]) - int(search1.start_on_salist[rid])
-        if fs == 1 and int(onegap_sa.length[int(search1.start_on_salist[rid])]) == 0:
-            pci = int(onegap_sa.str_position[int(search1.start_on_salist[rid])])
-            fs = (1 - int(pc.index_start[pci]) + int(pc.index_end[pci])
-                  + int(pc.feature_missing[pci]))
-        return fs
-
-    def task_of(i, d):
-        return LexTask(fast_speed_id=d, source_pattern=list(src_of(i)[1]),
-                       target_start=int(ts[i]), end=int(rules2.end[i]),
-                       gap1=int(rules2.gap1[i]), gap1_1=int(rules2.gap1_1[i]),
-                       gap2=int(rules2.gap2[i]), gap2_1=int(rules2.gap2_1[i]),
-                       kind="twogap")
-
-    return _finalize_fast(cid, first_idx, counts, fsample_arr, fsample_of,
-                          lex_of, task_of, cfg, tasks, "twogap")
+    rules = _finalize_fast(cid, first_idx, counts, fsample_arr, fs_dist,
+                           src_of, keys, target, cfg)
+    return rules, tasks

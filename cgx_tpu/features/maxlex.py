@@ -66,30 +66,24 @@ def _maxlex_batch(lex_key, lex_val1, lex_val2, tgt_str, src_pat, t0, tend,
     return jax.vmap(f)(src_pat, t0, tend, g1, g11, g2, g21)
 
 
-def compute_maxlex_tpu(tasks, index, rules_one, rules_two, rules_contig,
-                       cfg: ExtractorConfig):
-    """Scores LexTasks on device, accumulates on host, scatters into the rules."""
-    T = len(tasks)
-    if T == 0:
+def compute_maxlex_tpu(task_arrays: dict, index, rules_one, rules_two,
+                       rules_contig, cfg: ExtractorConfig):
+    """Scores the families' TaskArrays on device, accumulates on host, scatters
+    into the rules (row d of a family's TaskArrays is its distinct rule d)."""
+    by_kind = {"onegap": rules_one, "twogap": rules_two, "contig": rules_contig}
+    kinds = [k for k in ("onegap", "twogap", "contig")
+             if len(task_arrays[k].t0)]
+    if not kinds:
         return
-    src_pat = np.full((T, SRCW), -99, dtype=np.int32)
-    nsrc = np.zeros(T, dtype=np.int32)
-    t0 = np.zeros(T, dtype=np.int32)
-    tend = np.zeros(T, dtype=np.int32)
-    g1 = np.full(T, -1, dtype=np.int32)
-    g11 = np.full(T, -1, dtype=np.int32)
-    g2 = np.full(T, -1, dtype=np.int32)
-    g21 = np.full(T, -1, dtype=np.int32)
-    for i, task in enumerate(tasks):
-        n = len(task.source_pattern)
-        src_pat[i, :n] = task.source_pattern
-        nsrc[i] = n
-        t0[i] = task.target_start
-        tend[i] = task.end
-        if task.kind in ("onegap", "twogap"):
-            g1[i], g11[i] = task.gap1, task.gap1_1
-        if task.kind == "twogap":
-            g2[i], g21[i] = task.gap2, task.gap2_1
+    src_pat = np.concatenate([task_arrays[k].src_pat for k in kinds])
+    t0 = np.concatenate([task_arrays[k].t0 for k in kinds])
+    tend = np.concatenate([task_arrays[k].tend for k in kinds])
+    g1 = np.concatenate([task_arrays[k].g1 for k in kinds])
+    g11 = np.concatenate([task_arrays[k].g11 for k in kinds])
+    g2 = np.concatenate([task_arrays[k].g2 for k in kinds])
+    g21 = np.concatenate([task_arrays[k].g21 for k in kinds])
+    T = len(t0)
+    nsrc = (src_pat != -99).sum(axis=1).astype(np.int32)
 
     # int64 packed keys need x64 mode (off by default); scope it to this batch
     with jax.enable_x64(True):
@@ -118,8 +112,10 @@ def compute_maxlex_tpu(tasks, index, rules_one, rules_two, rules_contig,
                              ).astype(np.float32), maxscore)
             egf = np.where(m, (egf + term).astype(np.float32), egf)
 
-    by_kind = {"onegap": rules_one, "twogap": rules_two, "contig": rules_contig}
-    for i, task in enumerate(tasks):
-        r = by_kind[task.kind][task.fast_speed_id]
-        r.max_lex_fge = np.float32(fge[i])
-        r.max_lex_egf = np.float32(egf[i])
+    off = 0
+    for k in kinds:
+        rules = by_kind[k]
+        for d, r in enumerate(rules):
+            r.max_lex_fge = fge[off + d]
+            r.max_lex_egf = egf[off + d]
+        off += len(rules)

@@ -130,20 +130,18 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     rules2 = _concat_gaprules(_concat_gaprules(tg_blocks, tg_seeds), tg_onegap)
 
     with t.phase("lexicon"):
-        tasks: list = []
-        rules_one = lx.fast_create_lexicon_onegap(rules1, source, target,
-                                                  blocks, search1, enum1,
-                                                  onegap_sa, pc, sep_onegap,
-                                                  cfg, tasks)
-        rules_two = lx.fast_create_lexicon_twogap(rules2, source, target,
-                                                  blocks, search1, enum1,
-                                                  search2, enum2, onegap_sa,
-                                                  pc, sep1, sep2, cfg, tasks)
-        rules_contig = lx.fast_create_lexicon_contig(contig, source, target,
-                                                     blocks, cfg, tasks)
+        rules_one, tasks_one = lx.fast_create_lexicon_onegap(
+            rules1, source, target, blocks, search1, enum1, onegap_sa, pc,
+            sep_onegap, cfg)
+        rules_two, tasks_two = lx.fast_create_lexicon_twogap(
+            rules2, source, target, blocks, search1, enum1, search2, enum2,
+            onegap_sa, pc, sep1, sep2, cfg)
+        rules_contig, tasks_contig = lx.fast_create_lexicon_contig(
+            contig, source, target, blocks, cfg)
     with t.phase("maxlex"):
-        ml.compute_maxlex_tpu(tasks, index, rules_one, rules_two, rules_contig,
-                              cfg)
+        ml.compute_maxlex_tpu(
+            {"onegap": tasks_one, "twogap": tasks_two, "contig": tasks_contig},
+            index, rules_one, rules_two, rules_contig, cfg)
 
     with t.phase("printout"):
         G = len(blocks.start)

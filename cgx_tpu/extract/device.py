@@ -46,13 +46,14 @@ def _rlp_LR(rlp, pos):
     return L, R, (L != 255) & (R != 255)
 
 
-def _consistent_dev(l_tar, r_tar, ts, te, start_chk, end_chk, sentstart):
+def _consistent_dev(lr_tar, ts, te, start_chk, end_chk, sentstart):
     """consistent() (ExtractPair.cu:103-133) over a target span <= CWID wide."""
     ks = ts + jnp.arange(CWID, dtype=jnp.int32)
     mask = ks <= te
-    ksc = jnp.clip(ks, 0, l_tar.shape[0] - 1)
-    L = l_tar[ksc]
-    R = r_tar[ksc]
+    ksc = jnp.clip(ks, 0, lr_tar.shape[0] - 1)
+    w = lr_tar[ksc]
+    L = w >> 8
+    R = w & 255
     al = mask & (L != 255) & (R != 255)
     bmin = jnp.min(jnp.where(al, L, 256))
     bmax = jnp.max(jnp.where(al, R, -1))
@@ -80,7 +81,7 @@ def _cummax(vals, mask, init):
     return jax.lax.associative_scan(jnp.maximum, x)
 
 
-def _tar_window_prefixes(l_tar, r_tar, anchor, H):
+def _tar_window_prefixes(lr_tar, anchor, H):
     """One (2H+1)-wide gather of l_tar/r_tar around ``anchor`` plus bidirectional
     prefix min/max scans.  Every consistency-check span consumed by the extraction
     state machines has width < max_rule_span and contains its family's anchor
@@ -90,9 +91,10 @@ def _tar_window_prefixes(l_tar, r_tar, anchor, H):
     re-reads the window inside every consistent() call, ExtractPair.cu:103-133)."""
     offs = jnp.arange(-H, H + 1, dtype=jnp.int32)
     win = anchor + offs
-    winc = jnp.clip(win, 0, l_tar.shape[0] - 1)
-    L = l_tar[winc]
-    R = r_tar[winc]
+    winc = jnp.clip(win, 0, lr_tar.shape[0] - 1)
+    w = lr_tar[winc]
+    L = w >> 8
+    R = w & 255
     al = (L != 255) & (R != 255)
     Lv = jnp.where(al, L, 256)
     Rv = jnp.where(al, R, -1)
@@ -119,7 +121,7 @@ def _win_check(prefixes, anchor, ts, te, start_chk, end_chk, sentstart, H):
     return (sentstart + bmin == start_chk) & (sentstart + bmax == end_chk)
 
 
-def _grow_side_arrays(refstr, rlp, l_tar, r_tar, base, step, sentstart, stb,
+def _grow_side_arrays(refstr, rlp, lr_tar, base, step, sentstart, stb,
                       span_lo_fn, span_hi_fn, H):
     """Per-step arrays for one growth side: token, aligned, prefix min/max of the
     X span, and the X-gap consistency result (consistent(gap, [lo_i, hi_i])).
@@ -136,7 +138,7 @@ def _grow_side_arrays(refstr, rlp, l_tar, r_tar, base, step, sentstart, stb,
 
     first = jnp.argmax(al)
     anchor = stb + L[first]          # unused when no step is aligned (all empty)
-    pref = _tar_window_prefixes(l_tar, r_tar, anchor, H)
+    pref = _tar_window_prefixes(lr_tar, anchor, H)
     i0s = jnp.arange(IMAX, dtype=jnp.int32)
     gconsist = _win_check(pref, anchor, stb + pmin, stb + pmax,
                           span_lo_fn(i0s + 1), span_hi_fn(i0s + 1),
@@ -144,7 +146,7 @@ def _grow_side_arrays(refstr, rlp, l_tar, r_tar, base, step, sentstart, stb,
     return tok, al, pmin, pmax, gconsist
 
 
-def _extract_contig_item(refstr, refsa, rlp, l_tar, r_tar, mrs, msym, sa_pos, lm):
+def _extract_contig_item(refstr, refsa, rlp, lr_tar, mrs, msym, sa_pos, lm):
     """One sampled occurrence of a contiguous block (ExtractPair.cu:1147-1794)."""
     cs = refsa[sa_pos]
     ender = cs + lm - 1
@@ -170,7 +172,7 @@ def _extract_contig_item(refstr, refsa, rlp, l_tar, r_tar, mrs, msym, sa_pos, lm
 
     H = mrs - 1
     anchor = stb + jnp.minimum(min_L, 255)   # base-span anchor; dead => unused
-    base_pref = _tar_window_prefixes(l_tar, r_tar, anchor, H)
+    base_pref = _tar_window_prefixes(lr_tar, anchor, H)
     ab_ts = min_L + stb
     ab_len = max_R - min_L
     ab_ok = ab & _win_check(base_pref, anchor, ab_ts, max_R + stb,
@@ -182,10 +184,10 @@ def _extract_contig_item(refstr, refsa, rlp, l_tar, r_tar, mrs, msym, sa_pos, lm
 
     # per-step side arrays
     ltok, lal, lmin, lmax, lgap = _grow_side_arrays(
-        refstr, rlp, l_tar, r_tar, cs, -1, sentstart, stb,
+        refstr, rlp, lr_tar, cs, -1, sentstart, stb,
         lambda i: cs - i, lambda i: cs - 1, H)
     rtok, ral, rmin, rmax, rgap = _grow_side_arrays(
-        refstr, rlp, l_tar, r_tar, ender, 1, sentstart, stb,
+        refstr, rlp, lr_tar, ender, 1, sentstart, stb,
         lambda i: ender + 1, lambda i: ender + i, H)
 
     # whole-span (one X) arrays: spans all contain the base anchor
@@ -336,9 +338,9 @@ def _extract_contig_item(refstr, refsa, rlp, l_tar, r_tar, mrs, msym, sa_pos, lm
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "msym"))
-def _contig_batch(refstr, refsa, rlp, l_tar, r_tar, sa_pos, lm, mrs, msym):
-    f = functools.partial(_extract_contig_item, refstr, refsa, rlp, l_tar,
-                          r_tar, mrs, msym)
+def _contig_batch(refstr, refsa, rlp, lr_tar, sa_pos, lm, mrs, msym):
+    f = functools.partial(_extract_contig_item, refstr, refsa, rlp, lr_tar,
+                          mrs, msym)
     return jax.vmap(f)(sa_pos, lm)
 
 
@@ -357,7 +359,7 @@ def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig):
                 empty, empty)
     out = chunked_batch(
         lambda sp, lp: _contig_batch(
-            index.refstr_padded, index.sa, index.rlp, index.l_tar, index.r_tar,
+            index.refstr_padded, index.sa, index.rlp, index.lr_tar,
             jnp.asarray(sp), jnp.asarray(lp), cfg.max_rule_span,
             cfg.max_rule_symbols),
         [np.asarray(sa_pos, np.int32), np.asarray(lms, np.int32)])
@@ -406,7 +408,7 @@ def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig):
 # extractConsistentPairs_OneGap (ExtractPair.cu:351-889)
 # ---------------------------------------------------------------------------
 
-def _check_boundary_dev(refstr, rlp, l_tar, r_tar, start, ender, mrs):
+def _check_boundary_dev(refstr, rlp, lr_tar, start, ender, mrs):
     """checkBoundary (ExtractPair.cu:252-342) for spans <= CWID:
     returns (code, ts, te) with codes 0/1/2/3/4."""
     ks = start + jnp.arange(CWID, dtype=jnp.int32)
@@ -427,13 +429,13 @@ def _check_boundary_dev(refstr, rlp, l_tar, r_tar, start, ender, mrs):
     ts = min_L + stb
     te = max_R + stb
     ok_span = (min_L <= max_R) & (max_R - min_L < mrs)
-    cons = _consistent_dev(l_tar, r_tar, ts, te, start, ender, sentstart)
+    cons = _consistent_dev(lr_tar, ts, te, start, ender, sentstart)
     code = jnp.where(code_fw != 0, code_fw,
                      jnp.where(ok_span & cons, 1, 0))
     return code, ts, te, sentstart, stb
 
 
-def _extract_onegap_item(refstr, rlp, l_tar, r_tar, mrs, msym, cs, first_end,
+def _extract_onegap_item(refstr, rlp, lr_tar, mrs, msym, cs, first_end,
                          sl, el):
     """One sampled aXb occurrence: aXb + XaXb + aXbX slots."""
     ender = cs + first_end
@@ -448,7 +450,7 @@ def _extract_onegap_item(refstr, rlp, l_tar, r_tar, mrs, msym, cs, first_end,
     gap1s = gmin + stb
     gap1e = gmax + stb
 
-    code, ts, te, _, _ = _check_boundary_dev(refstr, rlp, l_tar, r_tar, cs,
+    code, ts, te, _, _ = _check_boundary_dev(refstr, rlp, lr_tar, cs,
                                              ender, mrs)
     min_L = ts - stb
     max_R = te - stb
@@ -464,12 +466,12 @@ def _extract_onegap_item(refstr, rlp, l_tar, r_tar, mrs, msym, cs, first_end,
 
     H = mrs - 1
     anchor = stb + jnp.minimum(min_L, 255)
-    base_pref = _tar_window_prefixes(l_tar, r_tar, anchor, H)
+    base_pref = _tar_window_prefixes(lr_tar, anchor, H)
     ltok, lal, lmin, lmax, lgap = _grow_side_arrays(
-        refstr, rlp, l_tar, r_tar, cs, -1, sentstart, stb,
+        refstr, rlp, lr_tar, cs, -1, sentstart, stb,
         lambda i: cs - i, lambda i: cs - 1, H)
     rtok, ral, rmin, rmax, rgap = _grow_side_arrays(
-        refstr, rlp, l_tar, r_tar, ender, 1, sentstart, stb,
+        refstr, rlp, lr_tar, ender, 1, sentstart, stb,
         lambda i: ender + 1, lambda i: ender + i, H)
 
     ir = jnp.arange(IMAX, dtype=jnp.int32)
@@ -537,8 +539,8 @@ def _extract_onegap_item(refstr, rlp, l_tar, r_tar, mrs, msym, cs, first_end,
             xaxb[0], xaxb[1], xaxb[2], xaxb[3], xaxb[4],
             axbx[0], axbx[1], axbx[2], axbx[3], axbx[4])
 @functools.partial(jax.jit, static_argnames=("mrs", "msym"))
-def _onegap_batch(refstr, rlp, l_tar, r_tar, cs, first_end, sl, el, mrs, msym):
-    f = functools.partial(_extract_onegap_item, refstr, rlp, l_tar, r_tar,
+def _onegap_batch(refstr, rlp, lr_tar, cs, first_end, sl, el, mrs, msym):
+    f = functools.partial(_extract_onegap_item, refstr, rlp, lr_tar,
                           mrs, msym)
     return jax.vmap(f)(cs, first_end, sl, el)
 
@@ -589,7 +591,7 @@ def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
     ids = np.asarray(ids, dtype=np.int64)
     out = chunked_batch(
         lambda a, b, c, d: _onegap_batch(
-            index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+            index.refstr_padded, index.rlp, index.lr_tar,
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d),
             cfg.max_rule_span, cfg.max_rule_symbols),
         [np.asarray(css, np.int32), np.asarray(fes, np.int32),
@@ -633,7 +635,7 @@ def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
 # extractConsistentPairs_TwoGap (ExtractPair.cu:891-1053)
 # ---------------------------------------------------------------------------
 
-def _extract_twogap_item(refstr, rlp, l_tar, r_tar, mrs, cs, first_end,
+def _extract_twogap_item(refstr, rlp, lr_tar, mrs, cs, first_end,
                          second_end, sl, el, cl):
     gs1, stb1 = _sent_anchor(rlp, cs + sl)
 
@@ -648,14 +650,14 @@ def _extract_twogap_item(refstr, rlp, l_tar, r_tar, mrs, cs, first_end,
 
     g1s, g1e = gapspan(cs + sl, cs + first_end - el)
     g2s, g2e = gapspan(cs + first_end + 1, cs + second_end - cl)
-    code, ts, te, _, _ = _check_boundary_dev(refstr, rlp, l_tar, r_tar, cs,
+    code, ts, te, _, _ = _check_boundary_dev(refstr, rlp, lr_tar, cs,
                                              cs + second_end, mrs)
     return code == 1, ts, te, g1s, g1e, g2s, g2e
 
 
 @functools.partial(jax.jit, static_argnames=("mrs",))
-def _twogap_batch(refstr, rlp, l_tar, r_tar, cs, fe, se, sl, el, cl, mrs):
-    f = functools.partial(_extract_twogap_item, refstr, rlp, l_tar, r_tar, mrs)
+def _twogap_batch(refstr, rlp, lr_tar, cs, fe, se, sl, el, cl, mrs):
+    f = functools.partial(_extract_twogap_item, refstr, rlp, lr_tar, mrs)
     return jax.vmap(f)(cs, fe, se, sl, el, cl)
 
 
@@ -676,7 +678,7 @@ def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
         return GapRules(*(np.empty(0, np.int32) for _ in range(7)))
     out = chunked_batch(
         lambda a, b, c, d, e, f: _twogap_batch(
-            index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+            index.refstr_padded, index.rlp, index.lr_tar,
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d),
             jnp.asarray(e), jnp.asarray(f), cfg.max_rule_span),
         [np.asarray(css, np.int32), np.asarray(fes, np.int32),

@@ -32,6 +32,7 @@ class GrammarIndex:
     rlp: jnp.ndarray             # uint32 [reflen] (+pad) as int64-safe uint32
     l_tar: jnp.ndarray           # int32 [target toklen]
     r_tar: jnp.ndarray
+    lr_tar: jnp.ndarray          # int32 (L << 8) | R — one gather serves both
     tgt_str: jnp.ndarray         # int32 [target toklen]
     lex_key: np.ndarray          # int64 [n_lex] packed (src << 32) | (tgt & mask);
                                  # kept host-side, moved to device under enable_x64
@@ -70,6 +71,8 @@ def build_index(source: SourceCorpus, target: TargetCorpus, sa: SAIndex,
         align.RLP.astype(np.uint32),
         np.full(cfg.max_rule_span + 2, 0xFFFF0000, dtype=np.uint32)])
     tgt_pad = np.full(cfg.max_rule_span + 2, 255, dtype=np.int32)
+    l_tar_np = np.concatenate([align.L_tar.astype(np.int32), tgt_pad])
+    r_tar_np = np.concatenate([align.R_tar.astype(np.int32), tgt_pad])
     return GrammarIndex(
         reflen=source.toklen,
         refstr_padded=jnp.asarray(refstr_padded),
@@ -77,8 +80,9 @@ def build_index(source: SourceCorpus, target: TargetCorpus, sa: SAIndex,
         lcpleft=jnp.asarray(sa.lcpleft),
         lcpright=jnp.asarray(sa.lcpright),
         rlp=jnp.asarray(rlp_padded),
-        l_tar=jnp.asarray(np.concatenate([align.L_tar.astype(np.int32), tgt_pad])),
-        r_tar=jnp.asarray(np.concatenate([align.R_tar.astype(np.int32), tgt_pad])),
+        l_tar=jnp.asarray(l_tar_np),
+        r_tar=jnp.asarray(r_tar_np),
+        lr_tar=jnp.asarray((l_tar_np << 8) | r_tar_np),
         tgt_str=jnp.asarray(target.str_),
         lex_key=pack_lex_key(lex.keys_src, lex.keys_tgt),
         lex_val1=jnp.asarray(lex.val1),

@@ -57,13 +57,13 @@ def make_sharded_search_step(mesh: Mesh, reflen: int, mrs: int, msym: int):
     """jitted (index arrays, token shard, occurrence shard) -> per-shard pass-1
     results, extraction slots and psum'd global counts."""
 
-    def step(refstr, refsa, lcpleft, lcpright, rlp, l_tar, r_tar, qtokens,
+    def step(refstr, refsa, lcpleft, lcpright, rlp, lr_tar, qtokens,
              toks, suffixlens, sa_pos, lms):
         p1 = jax.vmap(functools.partial(
             passes._pass1_token, refstr, refsa, lcpleft, lcpright, qtokens,
             reflen))(toks, suffixlens)
         ex = jax.vmap(functools.partial(
-            xdev._extract_contig_item, refstr, refsa, rlp, l_tar, r_tar,
+            xdev._extract_contig_item, refstr, refsa, rlp, lr_tar,
             mrs, msym))(sa_pos, lms)
         n_match = jax.lax.psum(jnp.sum(p1[0] > 0), "dp")
         n_rules = jax.lax.psum(
@@ -74,7 +74,7 @@ def make_sharded_search_step(mesh: Mesh, reflen: int, mrs: int, msym: int):
     from jax.experimental.shard_map import shard_map
     sharded = shard_map(
         step, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(),
                   P("dp"), P("dp"), P("dp"), P("dp")),
         out_specs=((P("dp"),) * 6, (P("dp"),) * 20, P(), P()),
         check_rep=False)
@@ -114,8 +114,7 @@ def run_sharded_search(mesh: Mesh, index, queries, blocks, cfg):
     p1, ex, n_match, n_rules = step(
         replicate(mesh, index.refstr_padded), replicate(mesh, index.sa),
         replicate(mesh, index.lcpleft), replicate(mesh, index.lcpright),
-        replicate(mesh, index.rlp), replicate(mesh, index.l_tar),
-        replicate(mesh, index.r_tar),
+        replicate(mesh, index.rlp), replicate(mesh, index.lr_tar),
         replicate(mesh, index.device_query_tokens(queries)),
         shard_items(mesh, toks), shard_items(mesh, suffixlens),
         shard_items(mesh, sa_pos), shard_items(mesh, lms))

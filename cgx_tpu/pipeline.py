@@ -88,7 +88,11 @@ def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
 
 def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
                  cfg: ExtractorConfig = DEFAULT_CONFIG,
-                 timing: PhaseTimer = None, index_dir: str = None) -> PipelineResult:
+                 timing: PhaseTimer = None, index_dir: str = None,
+                 sa_shards: int = 0) -> PipelineResult:
+    """``sa_shards > 0`` runs pass 1/2 in sharded-SA mode: the rank-indexed
+    arrays live split across that many devices (parallel.sharded_sa) for corpora
+    beyond single-chip HBM; all downstream stages are unchanged."""
     art, index, t = build_artifact(f_lines, e_lines, a_lines, lex_tokens, cfg,
                                    timing, index_dir)
     source, target, align = art.source, art.target, art.align
@@ -96,10 +100,18 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     with t.phase("qrysload"):
         queries = cp.load_queries(q_lines, source.vocab)
     sa_host = np.asarray(sa.sa)
-    with t.phase("kernel"):
-        p1 = passes.pass1_tpu(index, queries)
-    with t.phase("kernel2"):
-        p2 = passes.pass2_tpu(index, queries, p1)
+    if sa_shards:
+        from cgx_tpu.parallel import sharded_sa as ssm
+        ssa = ssm.build_sharded_sa(sa, ssm.make_sa_mesh(sa_shards))
+        with t.phase("kernel"):
+            p1, seeds = ssm.pass1_sharded(ssa, index, queries)
+        with t.phase("kernel2"):
+            p2 = ssm.pass2_sharded(ssa, index, queries, p1, seeds)
+    else:
+        with t.phase("kernel"):
+            p1 = passes.pass1_tpu(index, queries)
+        with t.phase("kernel2"):
+            p2 = passes.pass2_tpu(index, queries, p1)
     with t.phase("enumeration"):
         enum1, search1 = ef.fast_sort_and_dedup_onegap(
             ef.fast_one_gap_enumeration(queries, p1, cfg), queries)

@@ -28,45 +28,6 @@ from cgx_tpu.utils.batching import chunked_batch, pad_items
 MMOV = 16  # static move-axis width; real moves bounded by max_rule_span - 2
 
 
-# ---------------------------------------------------------------------------
-# device gap-consistency check (checkBoundaryGap, GappyLook.cu:43-126)
-# ---------------------------------------------------------------------------
-
-def _gap_check(rlp, l_tar, r_tar, start, ender, mrs: int):
-    """Vectorized checkBoundaryGap for one (start, ender) source span.
-    Requires ender - start < mrs and padded rlp/l_tar/r_tar arrays."""
-    ks = start + jnp.arange(mrs, dtype=jnp.int32)
-    mask = ks <= ender
-    temp = rlp[jnp.minimum(ks, rlp.shape[0] - 1)].astype(jnp.uint32)
-    L = ((temp >> 24) & 0xFF).astype(jnp.int32)
-    R = ((temp >> 16) & 0xFF).astype(jnp.int32)
-    unal = (L == 255) | (R == 255)
-    span = ender - start
-    fail0 = unal[0] | (span < 0)
-    # unaligned at ender: gather via dynamic index
-    end_off = jnp.clip(span, 0, mrs - 1)
-    fail0 = fail0 | jnp.take(unal, end_off)
-    aligned = mask & ~unal
-    min_L = jnp.min(jnp.where(aligned, L, 256))
-    max_R = jnp.max(jnp.where(aligned, R, -1))
-    p_start = ((rlp[start].astype(jnp.uint32) >> 8) & 0xFF).astype(jnp.int32)
-    tempind = start - p_start - 1
-    stb = jnp.where(tempind == -1, jnp.int32(0),
-                    rlp[jnp.maximum(tempind, 0)].astype(jnp.int32))
-    ok1 = ~fail0 & (min_L <= max_R) & (max_R - min_L < mrs)
-    ts = min_L + stb
-    te = max_R + stb
-    ks2 = ts + jnp.arange(mrs, dtype=jnp.int32)
-    mask2 = ks2 <= te
-    ks2c = jnp.clip(ks2, 0, l_tar.shape[0] - 1)
-    L2 = l_tar[ks2c]
-    R2 = r_tar[ks2c]
-    al2 = mask2 & (L2 != 255) & (R2 != 255)
-    bmin = jnp.min(jnp.where(al2, L2, 256))
-    bmax = jnp.max(jnp.where(al2, R2, -1))
-    return ok1 & (tempind + 1 + bmin == start) & (tempind + 1 + bmax == ender)
-
-
 def _prefix_ok(survive):
     """reach[m] = AND of survive[0..m-1] (sequential early-exit emulation)."""
     c = jnp.cumprod(survive.astype(jnp.int32))
@@ -77,7 +38,7 @@ def _prefix_ok(survive):
 # forward / backward aXb occurrence scans (GappyLook.cu:335-470)
 # ---------------------------------------------------------------------------
 
-def _fwd_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
+def _fwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
               gostart, sl, el, stok):
     """Forward scan from an occurrence of a: emissions over the move axis.
     Returns (valid[MMOV], length[MMOV]); str_position is gostart."""
@@ -107,13 +68,13 @@ def _fwd_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
     survive = ~bad & ~verify_kill
     reach = _prefix_ok(survive) & span_ok & ~gap0_bad
     cand = reach & ~bad & is_b & verify_ok
-    gc = _gap_check_grow(rlp, l_tar, r_tar, gostart + sl, mgs - 1, mrs, True)
+    gc = _gap_check_grow(rlp, lr_tar, gostart + sl, mgs - 1, mrs, True)
     valid = cand & gc
     length = sl + mgs + moves + el - 1
     return valid, length
 
 
-def _bwd_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
+def _bwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
               gostart, sl, el, tok):
     """Backward scan from an occurrence of b (GappyLook.cu:397-470).
     Returns (valid[MMOV], str_position[MMOV], length[MMOV])."""
@@ -142,7 +103,7 @@ def _bwd_item(refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs,
     survive = ~bad & ~verify_kill
     reach = _prefix_ok(survive) & span_ok & ~gap0_bad
     cand = reach & ~bad & is_a & verify_ok
-    gc = _gap_check_grow(rlp, l_tar, r_tar, gostart - 1, mgs - 1, mrs, False)
+    gc = _gap_check_grow(rlp, lr_tar, gostart - 1, mgs - 1, mrs, False)
     valid = cand & gc
     str_position = gostart - 1 - mgs - moves - sl + 1
     length = el + mgs + moves + sl - 1
@@ -170,16 +131,16 @@ def _pcs_item(refstr, qtokens, mrs, pstart, plen, sl, el, tok, stok):
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
-def _fwd_batch(refstr, rlp, l_tar, r_tar, qtokens, gostart, sl, el, stok,
+def _fwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, stok,
                mrs, mgs):
-    f = functools.partial(_fwd_item, refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs)
+    f = functools.partial(_fwd_item, refstr, rlp, lr_tar, qtokens, mrs, mgs)
     return jax.vmap(f)(gostart, sl, el, stok)
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
-def _bwd_batch(refstr, rlp, l_tar, r_tar, qtokens, gostart, sl, el, tok,
+def _bwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, tok,
                mrs, mgs):
-    f = functools.partial(_bwd_item, refstr, rlp, l_tar, r_tar, qtokens, mrs, mgs)
+    f = functools.partial(_bwd_item, refstr, rlp, lr_tar, qtokens, mrs, mgs)
     return jax.vmap(f)(gostart, sl, el, tok)
 
 
@@ -279,7 +240,7 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         if fwd:
             valid, length = chunked_batch(
                 lambda *a: _fwd_batch(
-                    index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+                    index.refstr_padded, index.rlp, index.lr_tar,
                     index.device_query_tokens(queries),
                     *(jnp.asarray(x) for x in a), mrs, mgs),
                 [gostart, sl_all[item_pat].astype(np.int32),
@@ -293,7 +254,7 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         else:
             valid, spos, length = chunked_batch(
                 lambda *a: _bwd_batch(
-                    index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+                    index.refstr_padded, index.rlp, index.lr_tar,
                     index.device_query_tokens(queries),
                     *(jnp.asarray(x) for x in a), mrs, mgs),
                 [gostart, sl_all[item_pat].astype(np.int32),
@@ -332,7 +293,7 @@ def _fill_salist(start_arr, end_arr, positions):
 # twoGapLookUpSA: extend each aXb core to the right looking for c
 # ---------------------------------------------------------------------------
 
-def _two_item(refstr, rlp, l_tar, r_tar, mrs, mgs, pstart, plen):
+def _two_item(refstr, rlp, lr_tar, mrs, mgs, pstart, plen):
     """Scan one aXb core rightward once; the per-pattern c-token test is hoisted
     to the host (every 2-gap pattern sharing the core sees the same scan)."""
     moves = jnp.arange(MMOV, dtype=jnp.int32)
@@ -345,15 +306,15 @@ def _two_item(refstr, rlp, l_tar, r_tar, mrs, mgs, pstart, plen):
     survive = ~bad & ~span_kill
     reach = _prefix_ok(survive) & ~gap0_bad
     cand = reach & ~span_kill & ~bad
-    gc = _gap_check_grow(rlp, l_tar, r_tar, pstart + plen + 1, mgs - 1, mrs,
+    gc = _gap_check_grow(rlp, lr_tar, pstart + plen + 1, mgs - 1, mrs,
                          True)
     length2 = plen + 1 + mgs + moves  # + el - 1 with el == 1
     return cand, temp, gc, length2
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
-def _two_batch(refstr, rlp, l_tar, r_tar, pstart, plen, mrs, mgs):
-    f = functools.partial(_two_item, refstr, rlp, l_tar, r_tar, mrs, mgs)
+def _two_batch(refstr, rlp, lr_tar, pstart, plen, mrs, mgs):
+    f = functools.partial(_two_item, refstr, rlp, lr_tar, mrs, mgs)
     return jax.vmap(f)(pstart, plen)
 
 
@@ -374,7 +335,7 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
         return GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
     cand, temp, gc, length2 = chunked_batch(
         lambda *a: _two_batch(
-            index.refstr_padded, index.rlp, index.l_tar, index.r_tar,
+            index.refstr_padded, index.rlp, index.lr_tar,
             *(jnp.asarray(x) for x in a), mrs, mgs),
         [css_all.astype(np.int32), fes_all.astype(np.int32)])
     # sorted (oneId, c-token) -> twoId table; distinct patterns are unique pairs
@@ -415,7 +376,7 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
 # masks out via its scan-kill logic), with ~20x less gather traffic.
 # ---------------------------------------------------------------------------
 
-def _gap_check_grow(rlp, l_tar, r_tar, fixed, base_off, mrs: int,
+def _gap_check_grow(rlp, lr_tar, fixed, base_off, mrs: int,
                     grow_right: bool):
     """ok[MMOV] for spans [fixed, fixed+base_off+m] (grow_right) or
     [fixed-base_off-m, fixed] (grow_left)."""
@@ -457,9 +418,10 @@ def _gap_check_grow(rlp, l_tar, r_tar, fixed, base_off, mrs: int,
     anchor = jnp.min(jnp.where(ok1, ts, 2**30))
     anchor = jnp.where(anchor == 2**30, jnp.int32(0), anchor)
     win = anchor + jnp.arange(MMOV, dtype=jnp.int32)
-    winc = jnp.clip(win, 0, l_tar.shape[0] - 1)
-    L2 = l_tar[winc]
-    R2 = r_tar[winc]
+    winc = jnp.clip(win, 0, lr_tar.shape[0] - 1)
+    w2 = lr_tar[winc]
+    L2 = w2 >> 8
+    R2 = w2 & 255
     al2 = (L2 != 255) & (R2 != 255)
     inb = (win[None, :] >= ts[:, None]) & (win[None, :] <= te[:, None])
     m2 = inb & al2[None, :]

@@ -34,12 +34,12 @@ from cgx_tpu.utils.batching import chunked_batch
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd"))
-def _gc_batch(rlp, l_tar, r_tar, gostart, mrs, mgs, fwd):
+def _gc_batch(rlp, lr_tar, gostart, mrs, mgs, fwd):
     """Gap checks for all MMOV moves of each occurrence; the token scan,
     membership, and ownership tests run on the host (numpy) so only occurrences
     that own at least one cell candidate reach the device."""
     anchor = gostart + 1 if fwd else gostart - 1
-    f = functools.partial(_gap_check_grow, rlp, l_tar, r_tar)
+    f = functools.partial(_gap_check_grow, rlp, lr_tar)
     return jax.vmap(lambda a: f(a, mgs - 1, mrs, fwd))(anchor)
 
 
@@ -127,7 +127,7 @@ def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
         if not len(live):
             continue
         gc = chunked_batch(
-            lambda g: (_gc_batch(index.rlp, index.l_tar, index.r_tar,
+            lambda g: (_gc_batch(index.rlp, index.lr_tar,
                                  jnp.asarray(g), mrs, mgs, fwd),),
             [gostart[live]])[0]
         ii_l, mm = np.nonzero(owns[live])

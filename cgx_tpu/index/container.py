@@ -39,6 +39,11 @@ class GrammarIndex:
                                  # by features.maxlex (int64 needs the x64 mode)
     lex_val1: jnp.ndarray        # float32
     lex_val2: jnp.ndarray
+    # host mirrors for host-side stages (MaxLex): the originals are built from
+    # numpy, so these are free references, not D2H copies
+    tgt_str_host: np.ndarray = None
+    lex_val1_host: np.ndarray = None
+    lex_val2_host: np.ndarray = None
     _qtok_cache: dict = dataclasses.field(default_factory=dict)
 
     def device_query_tokens(self, queries: QuerySet) -> jnp.ndarray:
@@ -87,4 +92,7 @@ def build_index(source: SourceCorpus, target: TargetCorpus, sa: SAIndex,
         lex_key=pack_lex_key(lex.keys_src, lex.keys_tgt),
         lex_val1=jnp.asarray(lex.val1),
         lex_val2=jnp.asarray(lex.val2),
+        tgt_str_host=np.asarray(target.str_),
+        lex_val1_host=np.asarray(lex.val1, dtype=np.float32),
+        lex_val2_host=np.asarray(lex.val2, dtype=np.float32),
     )

@@ -190,23 +190,36 @@ def _extract_contig_item(refstr, refsa, rlp, lr_tar, mrs, msym, sa_pos, lm):
         refstr, rlp, lr_tar, ender, 1, sentstart, stb,
         lambda i: ender + 1, lambda i: ender + i, H)
 
-    # whole-span (one X) arrays: spans all contain the base anchor
+    # Whole-span (one X) + 2D XabX consistency tables.  All these spans contain
+    # the base anchor, and the window prefixes are monotone (bwdL/fwdL
+    # non-increasing, bwdR/fwdR non-decreasing), so prefix[max(x, y)] factorizes:
+    # the (IMAX, IMAX) XabX table reduces to two IMAX part-vectors combined with
+    # an outer min/max — 196 -> 28 prefix lookups per lane, exactly equal values.
     ir = jnp.arange(IMAX, dtype=jnp.int32)
+    fwdL, bwdL, fwdR, bwdR = base_pref
+    loL = jnp.clip(min_L - lmin, 0, H)
+    hiL = jnp.clip(jnp.maximum(lmax, max_R) - min_L, 0, H)
+    loR = jnp.clip(min_L - rmin, 0, H)
+    hiR = jnp.clip(jnp.maximum(rmax, max_R) - min_L, 0, H)
+    mnL = jnp.minimum(bwdL[loL], fwdL[hiL])   # range-min(L) of left-whole span
+    mxL = jnp.maximum(bwdR[loL], fwdR[hiL])   # range-max(R) of left-whole span
+    mnR = jnp.minimum(bwdL[loR], fwdL[hiR])
+    mxR = jnp.maximum(bwdR[loR], fwdR[hiR])
+
     wl_ts = stb + jnp.minimum(lmin, min_L)
     wl_te = stb + jnp.maximum(lmax, max_R)
-    wl_ok = _win_check(base_pref, anchor, wl_ts, wl_te, cs - (ir + 1), ender,
-                       sentstart, H)
+    wl_ok = (sentstart + mnL == cs - (ir + 1)) & (sentstart + mxL == ender)
     wr_ts = stb + jnp.minimum(rmin, min_L)
     wr_te = stb + jnp.maximum(rmax, max_R)
-    wr_ok = _win_check(base_pref, anchor, wr_ts, wr_te, cs, ender + (ir + 1),
-                       sentstart, H)
+    wr_ok = (sentstart + mnR == cs) & (sentstart + mxR == ender + (ir + 1))
 
-    # 2D XabX whole-span tables: a = left extent, b = right extent (1-based - 1)
+    # a = left extent, b = right extent (1-based - 1)
     w2_ts = stb + jnp.minimum(jnp.minimum(lmin[:, None], rmin[None, :]), min_L)
     w2_te = stb + jnp.maximum(jnp.maximum(lmax[:, None], rmax[None, :]), max_R)
-    w2_ok = _win_check(base_pref, anchor, w2_ts, w2_te,
-                       cs - (ir[:, None] + 1), ender + (ir[None, :] + 1),
-                       sentstart, H)
+    bmin2 = jnp.minimum(mnL[:, None], mnR[None, :])
+    bmax2 = jnp.maximum(mxL[:, None], mxR[None, :])
+    w2_ok = (sentstart + bmin2 == cs - (ir[:, None] + 1)) & \
+        (sentstart + bmax2 == ender + (ir[None, :] + 1))
 
     # sequential growth as fori_loops (mirrors ExtractPair.cu:1280-1791);
     # rolled loops keep the XLA graph small (compile time) at identical semantics
@@ -475,14 +488,19 @@ def _extract_onegap_item(refstr, rlp, lr_tar, mrs, msym, cs, first_end,
         lambda i: ender + 1, lambda i: ender + i, H)
 
     ir = jnp.arange(IMAX, dtype=jnp.int32)
+    fwdL, bwdL, fwdR, bwdR = base_pref
+    loL = jnp.clip(min_L - lmin, 0, H)
+    hiL = jnp.clip(jnp.maximum(lmax, max_R) - min_L, 0, H)
+    loR = jnp.clip(min_L - rmin, 0, H)
+    hiR = jnp.clip(jnp.maximum(rmax, max_R) - min_L, 0, H)
     wl_ts = stb + jnp.minimum(lmin, min_L)
     wl_te = stb + jnp.maximum(lmax, max_R)
-    wl_ok = _win_check(base_pref, anchor, wl_ts, wl_te, cs - (ir + 1), ender,
-                       sentstart, H)
+    wl_ok = (sentstart + jnp.minimum(bwdL[loL], fwdL[hiL]) == cs - (ir + 1)) \
+        & (sentstart + jnp.maximum(bwdR[loL], fwdR[hiL]) == ender)
     wr_ts = stb + jnp.minimum(rmin, min_L)
     wr_te = stb + jnp.maximum(rmax, max_R)
-    wr_ok = _win_check(base_pref, anchor, wr_ts, wr_te, cs, ender + (ir + 1),
-                       sentstart, H)
+    wr_ok = (sentstart + jnp.minimum(bwdL[loR], fwdL[hiR]) == cs) \
+        & (sentstart + jnp.maximum(bwdR[loR], fwdR[hiR]) == ender + (ir + 1))
 
     def outer_body(i, st):
         left, right, xaxb, axbx = st

@@ -46,7 +46,10 @@ def _fwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
     b_first = qtokens[stok]
     gap0_bad = refstr[gostart + sl] < 2
     pos = gostart + sl + mgs + moves
-    temp = refstr[jnp.minimum(pos, refstr.shape[0] - 1)]
+    # one (MMOV+2)-wide window serves the scan and both tail-verify shifts
+    wpos = gostart + sl + mgs + jnp.arange(MMOV + 2, dtype=jnp.int32)
+    win = refstr[jnp.minimum(wpos, refstr.shape[0] - 1)]
+    temp = win[:MMOV]
     bad = temp < 2
     # span gate for entering iteration m: sl + mgs + m + el <= mrs
     span_ok = sl + mgs + moves + el <= mrs
@@ -57,7 +60,7 @@ def _fwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
     for k in (1, 2):
         need = el > k
         in_span = sl + mgs + moves + 1 + k <= mrs
-        bo = refstr[jnp.minimum(pos + k, refstr.shape[0] - 1)]
+        bo = win[k:MMOV + k]
         want = qtokens[stok + k]
         match_k = bo == want
         # previous tail tokens all matched => this k is actually compared
@@ -82,8 +85,11 @@ def _bwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
     a_last = qtokens[tok + sl - 1]
     gap0_bad = refstr[jnp.maximum(gostart - 1, 0)] < 2
     pos = gostart - 1 - mgs - moves
-    temp = jnp.where(pos < 0, jnp.int32(-1),
-                     refstr[jnp.maximum(pos, 0)])
+    # one reversed (MMOV+2)-wide window serves the scan and both verify shifts
+    wpos = gostart - 1 - mgs - jnp.arange(MMOV + 2, dtype=jnp.int32)
+    win = jnp.where(wpos < 0, jnp.int32(-1),
+                    refstr[jnp.maximum(wpos, 0)])
+    temp = win[:MMOV]
     bad = temp < 2
     span_ok = sl + mgs + moves + el <= mrs
     verify_ok = jnp.ones(MMOV, dtype=bool)
@@ -92,8 +98,7 @@ def _bwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
     for k in (1, 2):
         need = sl > k
         in_span = el + mgs + moves + 1 + k <= mrs
-        pk = pos - k
-        bo = jnp.where(pk < 0, jnp.int32(-1), refstr[jnp.maximum(pk, 0)])
+        bo = win[k:MMOV + k]
         want = qtokens[tok + jnp.maximum(sl - 1 - k, 0)]
         match_k = bo == want
         prev_ok = verify_ok

@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable occurrence sampling (grammar.<i>.n outputs)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the run into DIR")
+    p.add_argument("--sa-shards", type=int, default=0, metavar="N",
+                   help="sharded-SA mode: split the rank-indexed index arrays "
+                        "across N devices (corpora beyond one chip's HBM)")
     p.add_argument("reffile")
     p.add_argument("qryfile")
     p.add_argument("reftargetfile")
@@ -58,23 +61,31 @@ def main(argv=None) -> int:
     if args.profile:
         import jax
         jax.profiler.start_trace(args.profile)
+    res = None
     if args.engine == "oracle":
         from cgx_tpu.oracle.pipeline import run_oracle_files
         run_oracle_files(args.reffile, args.qryfile, args.reftargetfile,
                          args.alignfile, args.lexfile, args.dest_dir, cfg)
     else:
         from cgx_tpu.pipeline import run_pipeline_files
-        run_pipeline_files(args.reffile, args.qryfile, args.reftargetfile,
-                           args.alignfile, args.lexfile, args.dest_dir, cfg,
-                           index_dir=args.index_dir)
+        res = run_pipeline_files(args.reffile, args.qryfile,
+                                 args.reftargetfile, args.alignfile,
+                                 args.lexfile, args.dest_dir, cfg,
+                                 index_dir=args.index_dir,
+                                 sa_shards=args.sa_shards)
     if args.profile:
         import jax
         jax.profiler.stop_trace()
     wall = time.perf_counter() - t0
     print(f"total: {wall:.3f}s", file=sys.stderr)
     if args.timefile:
+        # recordTime analog (Start.cu:392-469): one appended line per run with
+        # the phase buckets
         with open(args.timefile, "a", encoding="utf-8") as fh:
-            fh.write(f"total: {wall:.6f}\n")
+            if res is not None:
+                fh.write(f"wall: {wall:.6f}s , {res.timing.report()}\n")
+            else:
+                fh.write(f"wall: {wall:.6f}s\n")
     return 0
 
 

@@ -183,7 +183,7 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
 
 def run_pipeline_files(reffile, qryfile, tarfile, alignfile, lexfile, dest_dir,
                        cfg: ExtractorConfig = DEFAULT_CONFIG,
-                       index_dir: str = None):
+                       index_dir: str = None, sa_shards: int = 0):
     with open(reffile, encoding="utf-8") as fh:
         f_text = fh.read()
     with open(tarfile, encoding="utf-8") as fh:
@@ -191,7 +191,7 @@ def run_pipeline_files(reffile, qryfile, tarfile, alignfile, lexfile, dest_dir,
     res = run_pipeline(
         f_text, e_text, cp.read_lines(alignfile),
         cp.read_tokens(lexfile), cp.read_lines(qryfile), cfg,
-        index_dir=index_dir)
+        index_dir=index_dir, sa_shards=sa_shards)
     gw.write_grammars(dest_dir, res.queries.qryscount, cfg.is_sample,
                       res.per_query_lines)
     import sys

@@ -48,6 +48,13 @@ def main(argv=None) -> int:
     if not (1 <= args.fingerlen <= 10):
         print("finger length must be between 1 and 10", file=sys.stderr)
         return 1
+    if args.minmatchlen != 1:
+        # In the reference -l only sizes preallocated buffers (ComTypes.h:39-40);
+        # it never changes which rules are extracted.  Exact-sized arrays make it
+        # moot here, so output is identical for any value — say so out loud.
+        print(f"warning: -l {args.minmatchlen} accepted for CLI parity but has "
+              "no effect on output (buffer-sizing-only flag in the reference)",
+              file=sys.stderr)
     import os
     for name in ("reffile", "qryfile", "reftargetfile", "alignfile", "lexfile"):
         path = getattr(args, name)

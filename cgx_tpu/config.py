@@ -40,8 +40,12 @@ class ExtractorConfig:
     minmatchlen: int = 1
     fingerlen: int = 10
 
-    # TPU pipeline capacities (replace the reference's hardcoded preallocations,
-    # ComTypes.h:54-60; overflow is detected and reported, never silent).
+    # Work-set capacities (replace the reference's hardcoded preallocations,
+    # ComTypes.h:54-60).  The TPU pipeline builds exact-sized work arrays, so
+    # these are not buffer sizes; they are sanity ceilings checked by
+    # ``check_capacity`` at each stage — exceeding one raises CapacityError
+    # with the stage name and count instead of silently eating host/device
+    # memory (the reference overflowed preallocations silently).
     cap_onegap_enum: int = 20_000_000
     cap_twogap_enum: int = 35_000_000
     cap_onegap_sa: int = 60_000_000
@@ -57,6 +61,21 @@ class ExtractorConfig:
         (GappyLook.cu:544-547).
         """
         return self.max_rule_symbols - 2 - 1 - 1
+
+
+class CapacityError(RuntimeError):
+    """A stage's work set exceeded its configured capacity ceiling."""
+
+
+def check_capacity(stage: str, count: int, cap: int) -> None:
+    """Explicit overflow check (SURVEY.md section 5): the reference silently
+    overran hardcoded preallocations (ComTypes.h:54-60, atomicAdd past the end);
+    here every stage's exact count is validated against its ``cap_*`` knob."""
+    if count > cap:
+        raise CapacityError(
+            f"stage '{stage}' produced {count} work items, exceeding the "
+            f"configured capacity {cap}; raise the matching cap_* field in "
+            f"ExtractorConfig if this corpus/query load is intended")
 
 
 DEFAULT_CONFIG = ExtractorConfig()

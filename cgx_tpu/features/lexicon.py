@@ -556,9 +556,13 @@ def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
     seg2_d = seg2[first_idx]
     gi_d = gi[first_idx]
     base_d = np.where(gi_d < G, gi_d, gi_d - G)
-    base_c = np.clip(base_d, 0, max(G - 1, 0))
-    fs_blk = 1 + blocks.end.astype(np.int64)[base_c] \
-        - blocks.start.astype(np.int64)[base_c]
+    if G:
+        base_c = np.clip(base_d, 0, G - 1)
+        fs_blk = 1 + blocks.end.astype(np.int64)[base_c] \
+            - blocks.start.astype(np.int64)[base_c]
+    else:  # no contiguous blocks: every row is a seg2 (aXb) rule
+        base_c = base_d
+        fs_blk = np.zeros(len(first_idx), dtype=np.int64)
     oid_c = np.clip(gi_d, 0, max(D1 - 1, 0))
     fs_gap = _onegap_fs_dist(search1, onegap_sa, pc, oid_c) if D1 else fs_blk
     fs_dist = np.where(seg2_d, fs_gap, fs_blk)
@@ -568,7 +572,8 @@ def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
     pat_rows = _compact_pattern_rows(enum1.pattern[pos_c]) \
         if len(enum1.number) else np.full((len(first_idx), SRCW), -99, np.int32)
     src_pat = np.where(seg2_d[:, None], pat_rows,
-                       _block_pattern_rows(source, blocks, base_c))
+                       _block_pattern_rows(source, blocks, base_c)
+                       if G else pat_rows)
     m1 = np.full(len(first_idx), -1, np.int32)
     tasks = TaskArrays(
         src_pat=src_pat, t0=ts[first_idx].astype(np.int32),
@@ -635,9 +640,13 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
     gi_d = gi[first_idx]
     segA = first_idx < sep1                      # XabX by block
     segB = (first_idx >= sep1) & (first_idx < sep2)  # aXbXc by twoId
-    blk_c = np.clip(gi_d, 0, max(G - 1, 0))
-    fsA = 1 + blocks.end.astype(np.int64)[blk_c] \
-        - blocks.start.astype(np.int64)[blk_c]
+    if G:
+        blk_c = np.clip(gi_d, 0, G - 1)
+        fsA = 1 + blocks.end.astype(np.int64)[blk_c] \
+            - blocks.start.astype(np.int64)[blk_c]
+    else:  # no contiguous blocks: segA is empty
+        blk_c = gi_d
+        fsA = np.zeros(len(first_idx), dtype=np.int64)
     two_c = np.clip(gi_d, 0, max(D2 - 1, 0))
     fsB = (1 + search2.end_on_salist.astype(np.int64)[two_c]
            - search2.start_on_salist.astype(np.int64)[two_c]) if D2 else fsA
@@ -655,7 +664,8 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
     else:
         patC = np.full((nd, SRCW), -99, np.int32)
     src_pat = np.where(segA[:, None],
-                       _block_pattern_rows(source, blocks, blk_c), patC)
+                       _block_pattern_rows(source, blocks, blk_c)
+                       if G else patC, patC)
     if D2 and segB.any():
         one_of_two = np.clip(search2.blockid.astype(np.int64)[two_c], 0,
                              max(D1 - 1, 0))

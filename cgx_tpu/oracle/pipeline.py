@@ -12,7 +12,7 @@ from cgx_tpu.preproc import corpus as cp
 from cgx_tpu.preproc import suffix_array as sab
 from cgx_tpu.oracle import extract as ex
 from cgx_tpu.oracle import features as ft
-from cgx_tpu.oracle import grammar as gr
+from cgx_tpu.grammar import writer as gr
 from cgx_tpu.oracle import search as se
 
 

@@ -19,7 +19,7 @@ import dataclasses
 
 import numpy as np
 
-from cgx_tpu.config import DEFAULT_CONFIG, ExtractorConfig
+from cgx_tpu.config import DEFAULT_CONFIG, ExtractorConfig, check_capacity
 from cgx_tpu.preproc import corpus as cp
 from cgx_tpu.preproc import suffix_array as sab
 from cgx_tpu.index import container as ic
@@ -115,16 +115,20 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     with t.phase("enumeration"):
         enum1, search1 = ef.fast_sort_and_dedup_onegap(
             ef.fast_one_gap_enumeration(queries, p1, cfg), queries)
+        check_capacity("onegap_enum", len(enum1.number), cfg.cap_onegap_enum)
     with t.phase("lookup1"):
         onegap_sa = lookup.one_gap_lookup_tpu(index, sa_host, queries, p1, p2,
                                               search1, pc, cfg)
+        check_capacity("onegap_sa", len(onegap_sa.position), cfg.cap_onegap_sa)
     with t.phase("enumeration"):
         enum2, search2 = ef.fast_sort_and_dedup_twogap(
             ef.fast_two_gap_enumeration(queries, p1, enum1, search1, cfg),
             queries)
+        check_capacity("twogap_enum", len(enum2.number), cfg.cap_twogap_enum)
     with t.phase("lookup2"):
         twogap_sa = lookup.two_gap_lookup_tpu(index, queries, search1,
                                               onegap_sa, search2, pc, cfg)
+        check_capacity("twogap_sa", len(twogap_sa.position), cfg.cap_twogap_sa)
 
     with t.phase("extractin"):
         blocks = generate_blocks(sa, queries, p1, p2)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cgx_tpu.config import ExtractorConfig
+from cgx_tpu.config import ExtractorConfig, check_capacity
 from cgx_tpu.preproc.corpus import SourceCorpus
 from cgx_tpu.preproc.suffix_array import SAIndex
 from cgx_tpu.search.lookup import MMOV, _gap_check_grow
@@ -52,8 +52,11 @@ def _host_scan(refstr, tokens, counts, tok_idx, gostart, mrs, mgs, fwd):
     moves = np.arange(MMOV)
     if fwd:
         pos = gostart[:, None] + 1 + mgs + moves[None, :]
-        oob = np.zeros((n, MMOV), dtype=bool)
-        gap0_bad = refstr[np.minimum(gostart + mgs, len(refstr) - 1)] < 2
+        # mask past-the-end reads (else they clamp to the sentinel, which is
+        # >= 2 and would keep a scan alive that the reference stops)
+        oob = pos >= len(refstr)
+        gap0_bad = (gostart + mgs >= len(refstr)) | \
+            (refstr[np.minimum(gostart + mgs, len(refstr) - 1)] < 2)
     else:
         pos = gostart[:, None] - 1 - mgs - moves[None, :]
         oob = pos < 0
@@ -141,6 +144,7 @@ def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
 
     if rows_parts:
         rows = np.concatenate(rows_parts, axis=0)
+        check_capacity("precomp", len(rows), cfg.cap_precomp)
         order = np.lexsort((rows[:, 2], rows[:, 1], rows[:, 0]))
         rows = rows[order]
     else:

@@ -50,3 +50,13 @@ def test_edge_world_byte_identical():
     assert o.per_query_lines[2] == []
     # ordinary queries produce rules
     assert len(o.per_query_lines[0]) > 0
+
+
+def test_capacity_overflow_is_reported():
+    """cap_* knobs are real checked ceilings (SURVEY.md section 5): exceeding
+    one raises CapacityError naming the stage, never silent overflow."""
+    from cgx_tpu.config import CapacityError
+    cfg = ExtractorConfig(precompute_count=10, cap_onegap_enum=1)
+    args = _world()
+    with pytest.raises(CapacityError, match="onegap_enum"):
+        tpl.run_pipeline(*args, cfg)

@@ -14,54 +14,56 @@ LONGESTCHSOURCE = 5  # max block matchlen (ExtractPair.cu:16, GenerateBlocks :28
 
 def generate_blocks(sa: SAIndex, queries: QuerySet, p1: Pass1Result,
                     p2: Pass2Result) -> Blocks:
-    key_to_id: dict = {}
-    start, end, matchlen, string_start = [], [], [], []
-    qry_global = []
-    for q in range(queries.qryscount):
-        go = []
-        seen = set()
-        for j in range(int(queries.offsets[q]), queries.query_end(q)):
-            lm = int(p1.longestmatch[j])
-            if lm > 0:
-                key = (int(p1.up[j]), int(p1.down[j]), 1)
-                gid = key_to_id.get(key)
-                if gid is None:
-                    gid = len(start)
-                    key_to_id[key] = gid
-                    start.append(key[0])
-                    end.append(key[1])
-                    matchlen.append(1)
-                    string_start.append(int(sa.sa[key[0]]))
-                    seen.add(gid)
-                    go.append(gid)
-                elif gid not in seen:
-                    seen.add(gid)
-                    go.append(gid)
-            if lm > 1:
-                cc = int(p2.connectoffset[j])
-                for ct in range(2, min(lm, LONGESTCHSOURCE) + 1):
-                    key = (int(p2.up[cc]), int(p2.down[cc]), ct)
-                    cc += 1
-                    gid = key_to_id.get(key)
-                    if gid is None:
-                        gid = len(start)
-                        key_to_id[key] = gid
-                        start.append(key[0])
-                        end.append(key[1])
-                        matchlen.append(ct)
-                        string_start.append(int(sa.sa[key[0]]))
-                        seen.add(gid)
-                        go.append(gid)
-                    elif gid not in seen:
-                        seen.add(gid)
-                        go.append(gid)
-        qry_global.append(go)
+    """Vectorized: one work item per (token, matchlen) candidate in the
+    reference's traversal order (query asc, token asc, len 1 then 2..5), dedup
+    by (up, down, len) key with first-appearance ids, per-query id lists by
+    first encounter — identical observable output to the sequential loop."""
+    lm = p1.longestmatch.astype(np.int64)
+    c1 = (lm > 0).astype(np.int64)
+    c2 = np.maximum(np.minimum(lm, LONGESTCHSOURCE) - 1, 0)
+    cnt = c1 + c2
+    total = int(cnt.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int32)
+        return Blocks(start=z, end=z.copy(), matchlen=z.copy(),
+                      string_start=z.copy(),
+                      qry_global=[[] for _ in range(queries.qryscount)])
+    tok = np.repeat(np.arange(len(lm), dtype=np.int64), cnt)
+    ends_c = np.cumsum(cnt)
+    k = np.arange(total, dtype=np.int64) - np.repeat(ends_c - cnt, cnt)
+    lens = k + 1                 # slot 0 = len 1, slot j>=1 = len j+1
+    is1 = k == 0
+    p2n = max(len(p2.up), 1)
+    cc = np.clip(p2.connectoffset.astype(np.int64)[tok] + k - 1, 0, p2n - 1)
+    p2up = p2.up if len(p2.up) else np.zeros(1, np.int32)
+    p2dn = p2.down if len(p2.down) else np.zeros(1, np.int32)
+    up = np.where(is1, p1.up.astype(np.int64)[tok], p2up.astype(np.int64)[cc])
+    down = np.where(is1, p1.down.astype(np.int64)[tok],
+                    p2dn.astype(np.int64)[cc])
+
+    keys = np.stack([up, down, lens], axis=1)
+    _, first, inv = np.unique(keys, axis=0, return_index=True,
+                              return_inverse=True)
+    order = np.argsort(first, kind="stable")       # by first appearance
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    gid = rank[inv.ravel()]
+    first_o = first[order]
+    G = len(first_o)
+
+    qv = np.asarray(queries.tok_to_qry, dtype=np.int64)[tok]
+    _, pfirst = np.unique(qv * G + gid, return_index=True)
+    order2 = np.lexsort((pfirst, qv[pfirst]))
+    gids_sorted = gid[pfirst[order2]]
+    counts_q = np.bincount(qv[pfirst], minlength=queries.qryscount)
+    parts = np.split(gids_sorted, np.cumsum(counts_q)[:-1])
+    sa_host = np.asarray(sa.sa)
     return Blocks(
-        start=np.asarray(start, dtype=np.int32),
-        end=np.asarray(end, dtype=np.int32),
-        matchlen=np.asarray(matchlen, dtype=np.int32),
-        string_start=np.asarray(string_start, dtype=np.int32),
-        qry_global=qry_global)
+        start=up[first_o].astype(np.int32),
+        end=down[first_o].astype(np.int32),
+        matchlen=lens[first_o].astype(np.int32),
+        string_start=sa_host[up[first_o]].astype(np.int32),
+        qry_global=[p.tolist() for p in parts])
 
 
 def sample_indices(dis: int, sampler: int, is_sample: bool):

@@ -309,15 +309,57 @@ def create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
     return rules
 
 
+@_dc.dataclass
+class RuleTable:
+    """Distinct scored rules as struct-of-arrays (red_dup_t, ComTypes.h:244-255,
+    as dense columns instead of per-rule objects — the object-per-rule form only
+    survives in the slow oracle spec above)."""
+
+    blocknumber: np.ndarray    # int64 [n] converted print id
+    lexical: list              # [n] "src ||| tgt" strings
+    fsample: np.ndarray        # int64 [n] clamped sample size
+    fsample_score: np.ndarray  # float32 [n]
+    f: np.ndarray              # int64 [n] pre-dedup instance count per id
+    paircount: np.ndarray      # int64 [n]
+    aa: np.ndarray             # float32 [n]
+    bb: np.ndarray             # float32 [n]
+    max_lex_fge: np.ndarray    # float32 [n]
+    max_lex_egf: np.ndarray    # float32 [n]
+
+    def __len__(self) -> int:
+        return len(self.lexical)
+
+    @classmethod
+    def from_fastspeed(cls, rules) -> "RuleTable":
+        """Convert a FastSpeed list (oracle spec output) to columns."""
+        n = len(rules)
+        return cls(
+            blocknumber=np.array([r.blocknumber for r in rules], np.int64),
+            lexical=[r.lexical for r in rules],
+            fsample=np.array([r.fsample for r in rules], np.int64),
+            fsample_score=np.array([r.fsample_score for r in rules],
+                                   np.float32),
+            f=np.array([r.f for r in rules], np.int64),
+            paircount=np.array([r.paircount for r in rules], np.int64),
+            aa=np.array([r.aa for r in rules], np.float32),
+            bb=np.array([r.bb for r in rules], np.float32),
+            max_lex_fge=np.array([r.max_lex_fge for r in rules], np.float32)
+            if n else np.empty(0, np.float32),
+            max_lex_egf=np.array([r.max_lex_egf for r in rules], np.float32)
+            if n else np.empty(0, np.float32))
+
+
 def updown_index(rules, total_ids: int) -> np.ndarray:
     """First/last rule index per id (globalOnPairsUpDown*, ExtractPair.cu:3743-3756);
     [:, 0] = down (first), [:, 1] = up (last); -1 when absent."""
+    bn = (rules.blocknumber if isinstance(rules, RuleTable)
+          else np.array([r.blocknumber for r in rules], np.int64))
     out = np.full((total_ids, 2), -1, dtype=np.int64)
-    for i, r in enumerate(rules):
-        b = r.blocknumber
-        if out[b, 0] == -1:
-            out[b, 0] = i
-        out[b, 1] = i
+    if len(bn):
+        ids, first = np.unique(bn, return_index=True)
+        out[ids, 0] = first
+        ids_r, first_r = np.unique(bn[::-1], return_index=True)
+        out[ids_r, 1] = len(bn) - 1 - first_r
     return out
 
 
@@ -459,15 +501,15 @@ def _finalize_fast(cids, first_idx, counts, fsample_arr, fs_dist, src_of,
     bb = np.log10((1 + pc).astype(np.float64)).astype(np.float32)
     f_arr = fsample_arr[cid_d]
     tgt_strs = _render_targets(target, keys[first_idx])
-    rules = []
-    for d in range(len(first_idx)):
-        i = int(first_idx[d])
-        rules.append(FastSpeed(
-            blocknumber=int(cid_d[d]),
-            lexical=src_of(i) + " ||| " + tgt_strs[d],
-            fsample=int(fs[d]), fsample_score=fscore[d], f=int(f_arr[d]),
-            paircount=int(pc[d]), aa=aa[d], bb=bb[d]))
-    return rules
+    n = len(first_idx)
+    z = np.zeros(n, np.float32)
+    return RuleTable(
+        blocknumber=cid_d.astype(np.int64),
+        lexical=[src_of(int(i)) + " ||| " + t
+                 for i, t in zip(first_idx, tgt_strs)],
+        fsample=fs.astype(np.int64), fsample_score=fscore,
+        f=f_arr.astype(np.int64), paircount=pc.astype(np.int64),
+        aa=aa, bb=bb, max_lex_fge=z, max_lex_egf=z.copy())
 
 
 def _empty_tasks():

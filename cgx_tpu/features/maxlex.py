@@ -105,8 +105,8 @@ def compute_maxlex_tpu(task_arrays: dict, index, rules_one, rules_two,
 
     off = 0
     for k in kinds:
-        rules = by_kind[k]
-        for d, r in enumerate(rules):
-            r.max_lex_fge = fge[off + d]
-            r.max_lex_egf = egf[off + d]
-        off += len(rules)
+        rules = by_kind[k]  # RuleTable; row d of a family's tasks = rule d
+        nk = len(rules)
+        rules.max_lex_fge[:] = fge[off:off + nk]
+        rules.max_lex_egf[:] = egf[off:off + nk]
+        off += nk

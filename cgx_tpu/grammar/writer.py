@@ -3,48 +3,65 @@
 Mirrors print_query_GPU_Gappy / printGapMode (PrintResults.c:339-577): for every query
 the blocks print abX, Xab, XabX, ab per contiguous block id; then aXb, XaXb, aXbX per
 distinct 1-gap pattern id; then aXbXc per distinct 2-gap pattern id.  Line format and
-feature order are PrintResults.c:355-364 (printf "%f" = 6-decimal fixed)."""
+feature order are PrintResults.c:355-364 (printf "%f" = 6-decimal fixed).
+
+Each distinct rule is formatted ONCE (``format_lines`` over a RuleTable's columns);
+per-query grammars are slice concatenations of those pre-rendered lines, so a rule
+shared by many queries costs one formatting pass, not one per emission.
+"""
 
 from __future__ import annotations
 
 import os
 
-import numpy as np
+_FMT = ("[X] ||| %s ||| EgivenFCoherent=%f SampleCountF=%f CountEF=%f "
+        "MaxLexFgivenE=%f MaxLexEgivenF=%f IsSingletonF=%d IsSingletonFE=%d")
 
 
 def format_rule(r) -> str:
-    return (
-        "[X] ||| %s ||| EgivenFCoherent=%f SampleCountF=%f CountEF=%f "
-        "MaxLexFgivenE=%f MaxLexEgivenF=%f IsSingletonF=%d IsSingletonFE=%d"
-        % (r.lexical, float(r.aa), float(r.fsample_score), float(r.bb),
-           float(r.max_lex_fge), float(r.max_lex_egf),
-           int(r.f == 1), int(r.paircount == 1)))
+    """One rule line from an attribute-style record (FastSpeed or a RuleTable
+    row view); the batch path below is what the pipelines use."""
+    return _FMT % (r.lexical, float(r.aa), float(r.fsample_score), float(r.bb),
+                   float(r.max_lex_fge), float(r.max_lex_egf),
+                   int(r.f == 1), int(r.paircount == 1))
 
 
-def _emit(lines, updown, rules, rid: int):
+def format_lines(table) -> list:
+    """All rule lines of a RuleTable, in order (one formatting pass)."""
+    return [
+        _FMT % (lx, aa, fss, bb, fge, egf, int(f == 1), int(pc == 1))
+        for lx, aa, fss, bb, fge, egf, f, pc in zip(
+            table.lexical, table.aa.astype(float),
+            table.fsample_score.astype(float), table.bb.astype(float),
+            table.max_lex_fge.astype(float), table.max_lex_egf.astype(float),
+            table.f, table.paircount)
+    ]
+
+
+def _emit(lines, updown, fmt, rid: int):
     d, u = updown[rid]
     if d == -1 or u == -1:
         return
-    for i in range(d, u + 1):
-        lines.append(format_rule(rules[i]))
+    lines.extend(fmt[d:u + 1])
 
 
 def grammar_lines_for_query(q: int, qry_global, one_q_ids, two_q_ids,
                             ud_contig, ud_one, ud_two,
-                            rules_contig, rules_one, rules_two,
+                            fmt_contig, fmt_one, fmt_two,
                             G: int, D1: int, D2: int):
+    """``fmt_*`` are the pre-rendered line lists from ``format_lines``."""
     lines: list = []
     for p in qry_global[q]:
-        _emit(lines, ud_one, rules_one, p + G)        # abX
-        _emit(lines, ud_one, rules_one, p)            # Xab
-        _emit(lines, ud_two, rules_two, p)            # XabX
-        _emit(lines, ud_contig, rules_contig, p)      # ab
+        _emit(lines, ud_one, fmt_one, p + G)        # abX
+        _emit(lines, ud_one, fmt_one, p)            # Xab
+        _emit(lines, ud_two, fmt_two, p)            # XabX
+        _emit(lines, ud_contig, fmt_contig, p)      # ab
     for s in one_q_ids[q]:
-        _emit(lines, ud_one, rules_one, 2 * G + s)            # aXb
-        _emit(lines, ud_two, rules_two, G + D2 + s)           # XaXb
-        _emit(lines, ud_two, rules_two, G + D2 + D1 + s)      # aXbX
+        _emit(lines, ud_one, fmt_one, 2 * G + s)            # aXb
+        _emit(lines, ud_two, fmt_two, G + D2 + s)           # XaXb
+        _emit(lines, ud_two, fmt_two, G + D2 + D1 + s)      # aXbX
     for s in two_q_ids[q]:
-        _emit(lines, ud_two, rules_two, G + s)                # aXbXc
+        _emit(lines, ud_two, fmt_two, G + s)                # aXbXc
     return lines
 
 
@@ -55,7 +72,8 @@ def write_grammars(dest_dir: str, qryscount: int, is_sample: bool, per_query_lin
     for q in range(qryscount):
         path = os.path.join(dest_dir, f"grammar.{q}.{suffix}")
         with open(path, "w", encoding="utf-8") as fh:
-            for line in per_query_lines[q]:
-                fh.write(line + "\n")
+            fh.write("\n".join(per_query_lines[q]))
+            if per_query_lines[q]:
+                fh.write("\n")
         paths.append(path)
     return paths

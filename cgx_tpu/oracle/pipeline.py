@@ -109,10 +109,14 @@ def run_oracle(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     ud_one = ft.updown_index(rules_one, 2 * G + D1)
     ud_two = ft.updown_index(rules_two, G + D2 + 2 * D1)
 
+    from cgx_tpu.features.lexicon import RuleTable
+    fmt_contig = gr.format_lines(RuleTable.from_fastspeed(rules_contig))
+    fmt_one = gr.format_lines(RuleTable.from_fastspeed(rules_one))
+    fmt_two = gr.format_lines(RuleTable.from_fastspeed(rules_two))
     per_query_lines = [
         gr.grammar_lines_for_query(
             q, blocks.qry_global, search1.query_with_id, search2.query_with_id,
-            ud_contig, ud_one, ud_two, rules_contig, rules_one, rules_two,
+            ud_contig, ud_one, ud_two, fmt_contig, fmt_one, fmt_two,
             G, D1, D2)
         for q in range(queries.qryscount)
     ]

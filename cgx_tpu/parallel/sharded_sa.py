@@ -191,18 +191,8 @@ def pass2_sharded(ssa: ShardedSAIndex, index, queries, p1: Pass1Result,
                   seeds) -> Pass2Result:
     """Sharded-SA pass 2: every (token, length) item re-searches each shard from
     that shard's own first-hit window; ranges combine as in pass 1."""
-    n = queries.totaltokens
-    connectoffset = np.full(n, -1, dtype=np.int32)
-    toks, matches = [], []
-    total = 0
-    for t in range(n):
-        lm = int(p1.longestmatch[t])
-        if lm - 1 > 0:
-            connectoffset[t] = total
-            total += lm - 1
-            for match in range(2, lm + 1):
-                toks.append(t)
-                matches.append(match)
+    connectoffset, toks, matches = passes.pass2_work_items(p1)
+    total = len(toks)
     if total == 0:
         return Pass2Result(connectoffset=connectoffset,
                            up=np.empty(0, np.int32),
@@ -212,8 +202,7 @@ def pass2_sharded(ssa: ShardedSAIndex, index, queries, p1: Pass1Result,
         np.stack([np.stack([ffh_s[s], ffl_s[s], ffr_s[s]])
                   for s in range(ssa.S)]),
         NamedSharding(ssa.mesh, P("sa")))
-    _, toks_p, match_p = pad_items(np.asarray(toks, np.int32),
-                                   np.asarray(matches, np.int32))
+    _, toks_p, match_p = pad_items(toks, matches)
     up_s, down_s = (np.asarray(x)[:, :total] for x in jax.device_get(
         _pass2_step(index.refstr_padded, index.device_query_tokens(queries),
                     ssa.sa_l, ssa.lcpleft_l, ssa.lcpright_l, seeds_dev,

@@ -166,11 +166,14 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
         ud_contig = lx.updown_index(rules_contig, G)
         ud_one = lx.updown_index(rules_one, 2 * G + D1)
         ud_two = lx.updown_index(rules_two, G + D2 + 2 * D1)
+        fmt_contig = gw.format_lines(rules_contig)
+        fmt_one = gw.format_lines(rules_one)
+        fmt_two = gw.format_lines(rules_two)
         per_query_lines = [
             gw.grammar_lines_for_query(
                 q, blocks.qry_global, search1.query_with_id,
                 search2.query_with_id, ud_contig, ud_one, ud_two,
-                rules_contig, rules_one, rules_two, G, D1, D2)
+                fmt_contig, fmt_one, fmt_two, G, D1, D2)
             for q in range(queries.qryscount)
         ]
     counters = dict(

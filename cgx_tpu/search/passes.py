@@ -247,23 +247,26 @@ def pass1_tpu(index, queries) -> Pass1Result:
                        firstfindhitR=ffr, longestmatch=lm)
 
 
+def pass2_work_items(p1: Pass1Result):
+    """Vectorized pass-2 work-list build (the host scan at
+    SuffixArray.cu:1464-1474): per token with longestmatch > 1, one item per
+    match length 2..longestmatch.  Returns (connectoffset, toks, matches)."""
+    lm = p1.longestmatch.astype(np.int64)
+    cnt = np.maximum(lm - 1, 0)
+    ends = np.cumsum(cnt)
+    starts = ends - cnt
+    connectoffset = np.where(cnt > 0, starts, -1).astype(np.int32)
+    total = int(ends[-1]) if len(cnt) else 0
+    toks = np.repeat(np.arange(len(cnt), dtype=np.int32),
+                     cnt).astype(np.int32)
+    matches = (np.arange(total, dtype=np.int64)
+               - np.repeat(starts, cnt) + 2).astype(np.int32)
+    return connectoffset, toks, matches
+
+
 def pass2_tpu(index, queries, p1: Pass1Result) -> Pass2Result:
-    n = queries.totaltokens
-    connectoffset = np.full(n, -1, dtype=np.int32)
-    toks, matches, LLs, MMs, RRs = [], [], [], [], []
-    total = 0
-    for t in range(n):
-        lm = int(p1.longestmatch[t])
-        if lm - 1 > 0:
-            connectoffset[t] = total
-            total += lm - 1
-            for match in range(2, lm + 1):
-                toks.append(t)
-                matches.append(match)
-                LLs.append(int(p1.firstfindhitL[t]))
-                MMs.append(int(p1.firstfindhit[t]))
-                RRs.append(int(p1.firstfindhitR[t]))
-    if total == 0:
+    connectoffset, toks, matches = pass2_work_items(p1)
+    if len(toks) == 0:
         return Pass2Result(connectoffset=connectoffset,
                            up=np.empty(0, np.int32), down=np.empty(0, np.int32))
     up, down = chunked_batch(
@@ -271,7 +274,6 @@ def pass2_tpu(index, queries, p1: Pass1Result) -> Pass2Result:
             index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
             index.device_query_tokens(queries),
             *(jnp.asarray(x) for x in a)),
-        [np.asarray(toks, np.int32), np.asarray(matches, np.int32),
-         np.asarray(LLs, np.int32), np.asarray(MMs, np.int32),
-         np.asarray(RRs, np.int32)])
+        [toks, matches, p1.firstfindhitL[toks], p1.firstfindhit[toks],
+         p1.firstfindhitR[toks]])
     return Pass2Result(connectoffset=connectoffset, up=up, down=down)

@@ -29,6 +29,7 @@ import numpy as np
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.extract.blocks import occurrence_lists, sample_indices
 from cgx_tpu.utils.batching import chunked_batch, pad_items
+from cgx_tpu.utils.views import make_views
 from cgx_tpu.types import Blocks, ContigRules, GapOnSA, GapRules, OneGapSearch, Precomp, TwoGapSearch
 
 IMAX = 14   # max growth distance: lm + i <= max_rule_span with lm >= 1
@@ -146,9 +147,8 @@ def _grow_side_arrays(refstr, rlp, lr_tar, base, step, sentstart, stb,
     return tok, al, pmin, pmax, gconsist
 
 
-def _extract_contig_item(refstr, refsa, rlp, lr_tar, mrs, msym, sa_pos, lm):
+def _extract_contig_item(refstr, rlp, lr_tar, mrs, msym, cs, lm):
     """One sampled occurrence of a contiguous block (ExtractPair.cu:1147-1794)."""
-    cs = refsa[sa_pos]
     ender = cs + lm - 1
     sentstart, stb = _sent_anchor(rlp, cs)
 
@@ -351,10 +351,20 @@ def _extract_contig_item(refstr, refsa, rlp, lr_tar, mrs, msym, sa_pos, lm):
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "msym"))
-def _contig_batch(refstr, refsa, rlp, lr_tar, sa_pos, lm, mrs, msym):
-    f = functools.partial(_extract_contig_item, refstr, refsa, rlp, lr_tar,
-                          mrs, msym)
-    return jax.vmap(f)(sa_pos, lm)
+def _contig_batch(refstr, refsa, rlp, lr_tar, sa_pos, lm, offs, mrs, msym):
+    refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
+    cs = refsa[sa_pos]
+    f = functools.partial(_extract_contig_item, refstr, rlp, lr_tar, mrs, msym)
+    return jax.vmap(f)(cs, lm)
+
+
+@functools.partial(jax.jit, static_argnames=("mrs", "msym"))
+def _contig_batch_pos(refstr, rlp, lr_tar, cs, lm, offs, mrs, msym):
+    """Position-based variant for the sharded-index layout (occurrence
+    positions already resolved from the rank-sharded SA)."""
+    refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
+    f = functools.partial(_extract_contig_item, refstr, rlp, lr_tar, mrs, msym)
+    return jax.vmap(f)(cs, lm)
 
 
 def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig):
@@ -373,7 +383,7 @@ def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig):
     out = chunked_batch(
         lambda sp, lp: _contig_batch(
             index.refstr_padded, index.sa, index.rlp, index.lr_tar,
-            jnp.asarray(sp), jnp.asarray(lp), cfg.max_rule_span,
+            jnp.asarray(sp), jnp.asarray(lp), index.offs0, cfg.max_rule_span,
             cfg.max_rule_symbols),
         [np.asarray(sa_pos, np.int32), np.asarray(lms, np.int32)])
     (ab_v, ab_ts, ab_len,
@@ -557,7 +567,8 @@ def _extract_onegap_item(refstr, rlp, lr_tar, mrs, msym, cs, first_end,
             xaxb[0], xaxb[1], xaxb[2], xaxb[3], xaxb[4],
             axbx[0], axbx[1], axbx[2], axbx[3], axbx[4])
 @functools.partial(jax.jit, static_argnames=("mrs", "msym"))
-def _onegap_batch(refstr, rlp, lr_tar, cs, first_end, sl, el, mrs, msym):
+def _onegap_batch(refstr, rlp, lr_tar, cs, first_end, sl, el, offs, mrs, msym):
+    refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
     f = functools.partial(_extract_onegap_item, refstr, rlp, lr_tar,
                           mrs, msym)
     return jax.vmap(f)(cs, first_end, sl, el)
@@ -611,7 +622,7 @@ def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
         lambda a, b, c, d: _onegap_batch(
             index.refstr_padded, index.rlp, index.lr_tar,
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d),
-            cfg.max_rule_span, cfg.max_rule_symbols),
+            index.offs0, cfg.max_rule_span, cfg.max_rule_symbols),
         [np.asarray(css, np.int32), np.asarray(fes, np.int32),
          np.asarray(sls, np.int32), np.asarray(els, np.int32)])
     (b_v, b_ts, b_te, b_g1s, b_g1e,
@@ -674,7 +685,8 @@ def _extract_twogap_item(refstr, rlp, lr_tar, mrs, cs, first_end,
 
 
 @functools.partial(jax.jit, static_argnames=("mrs",))
-def _twogap_batch(refstr, rlp, lr_tar, cs, fe, se, sl, el, cl, mrs):
+def _twogap_batch(refstr, rlp, lr_tar, cs, fe, se, sl, el, cl, offs, mrs):
+    refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
     f = functools.partial(_extract_twogap_item, refstr, rlp, lr_tar, mrs)
     return jax.vmap(f)(cs, fe, se, sl, el, cl)
 
@@ -698,7 +710,7 @@ def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
         lambda a, b, c, d, e, f: _twogap_batch(
             index.refstr_padded, index.rlp, index.lr_tar,
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d),
-            jnp.asarray(e), jnp.asarray(f), cfg.max_rule_span),
+            jnp.asarray(e), jnp.asarray(f), index.offs0, cfg.max_rule_span),
         [np.asarray(css, np.int32), np.asarray(fes, np.int32),
          np.asarray(ses, np.int32), np.asarray(sls, np.int32),
          np.asarray(els, np.int32), np.asarray(cls, np.int32)])

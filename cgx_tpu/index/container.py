@@ -53,6 +53,13 @@ class GrammarIndex:
                 passes.pad_query_tokens(queries.tokens))
         return self._qtok_cache[key]
 
+    @property
+    def offs0(self):
+        """Identity offsets for the replicated layout (utils.views.make_views):
+        (src_off, tgt_off, refstr_glen, rlp_glen, lrtar_glen)."""
+        return (0, 0, int(self.refstr_padded.shape[0]),
+                int(self.rlp.shape[0]), int(self.lr_tar.shape[0]))
+
 
 def pack_lex_key(src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
     """Order-preserving packing of (src, tgt) int32 pairs into sortable int64:

@@ -62,9 +62,10 @@ def make_sharded_search_step(mesh: Mesh, reflen: int, mrs: int, msym: int):
         p1 = jax.vmap(functools.partial(
             passes._pass1_token, refstr, refsa, lcpleft, lcpright, qtokens,
             reflen))(toks, suffixlens)
+        cs = refsa[sa_pos]
         ex = jax.vmap(functools.partial(
-            xdev._extract_contig_item, refstr, refsa, rlp, lr_tar,
-            mrs, msym))(sa_pos, lms)
+            xdev._extract_contig_item, refstr, rlp, lr_tar,
+            mrs, msym))(cs, lms)
         n_match = jax.lax.psum(jnp.sum(p1[0] > 0), "dp")
         n_rules = jax.lax.psum(
             jnp.sum(ex[0]) + jnp.sum(ex[3]) + jnp.sum(ex[8]) + jnp.sum(ex[13]),

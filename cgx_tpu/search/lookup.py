@@ -24,6 +24,7 @@ import numpy as np
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.types import GapOnSA, OneGapSearch, Precomp, TwoGapSearch
 from cgx_tpu.utils.batching import chunked_batch, pad_items
+from cgx_tpu.utils.views import make_views
 
 MMOV = 16  # static move-axis width; real moves bounded by max_rule_span - 2
 
@@ -137,20 +138,23 @@ def _pcs_item(refstr, qtokens, mrs, pstart, plen, sl, el, tok, stok):
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
 def _fwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, stok,
-               mrs, mgs):
+               offs, mrs, mgs):
+    refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
     f = functools.partial(_fwd_item, refstr, rlp, lr_tar, qtokens, mrs, mgs)
     return jax.vmap(f)(gostart, sl, el, stok)
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
 def _bwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, tok,
-               mrs, mgs):
+               offs, mrs, mgs):
+    refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
     f = functools.partial(_bwd_item, refstr, rlp, lr_tar, qtokens, mrs, mgs)
     return jax.vmap(f)(gostart, sl, el, tok)
 
 
 @functools.partial(jax.jit, static_argnames=("mrs",))
-def _pcs_batch(refstr, qtokens, pstart, plen, sl, el, tok, stok, mrs):
+def _pcs_batch(refstr, qtokens, pstart, plen, sl, el, tok, stok, offs, mrs):
+    refstr, _, _ = make_views(refstr, refstr, refstr, offs)
     f = functools.partial(_pcs_item, refstr, qtokens, mrs)
     return jax.vmap(f)(pstart, plen, sl, el, tok, stok)
 
@@ -220,7 +224,7 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         ok, spos, length = chunked_batch(
             lambda *a: _pcs_batch(
                 index.refstr_padded, index.device_query_tokens(queries),
-                *(jnp.asarray(x) for x in a), mrs),
+                *(jnp.asarray(x) for x in a), index.offs0, mrs),
             [pc.onegap_start[row], pc.onegap_length[row],
              sl_all[item_pat].astype(np.int32),
              el_all[item_pat].astype(np.int32),
@@ -247,7 +251,7 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
                 lambda *a: _fwd_batch(
                     index.refstr_padded, index.rlp, index.lr_tar,
                     index.device_query_tokens(queries),
-                    *(jnp.asarray(x) for x in a), mrs, mgs),
+                    *(jnp.asarray(x) for x in a), index.offs0, mrs, mgs),
                 [gostart, sl_all[item_pat].astype(np.int32),
                  el_all[item_pat].astype(np.int32),
                  stok_all[item_pat].astype(np.int32)])
@@ -261,7 +265,7 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
                 lambda *a: _bwd_batch(
                     index.refstr_padded, index.rlp, index.lr_tar,
                     index.device_query_tokens(queries),
-                    *(jnp.asarray(x) for x in a), mrs, mgs),
+                    *(jnp.asarray(x) for x in a), index.offs0, mrs, mgs),
                 [gostart, sl_all[item_pat].astype(np.int32),
                  el_all[item_pat].astype(np.int32),
                  tok_all[item_pat].astype(np.int32)])
@@ -318,7 +322,8 @@ def _two_item(refstr, rlp, lr_tar, mrs, mgs, pstart, plen):
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
-def _two_batch(refstr, rlp, lr_tar, pstart, plen, mrs, mgs):
+def _two_batch(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs):
+    refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
     f = functools.partial(_two_item, refstr, rlp, lr_tar, mrs, mgs)
     return jax.vmap(f)(pstart, plen)
 
@@ -341,7 +346,7 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
     cand, temp, gc, length2 = chunked_batch(
         lambda *a: _two_batch(
             index.refstr_padded, index.rlp, index.lr_tar,
-            *(jnp.asarray(x) for x in a), mrs, mgs),
+            *(jnp.asarray(x) for x in a), index.offs0, mrs, mgs),
         [css_all.astype(np.int32), fes_all.astype(np.int32)])
     # sorted (oneId, c-token) -> twoId table; distinct patterns are unique pairs
     ctok = np.asarray(queries.tokens)[search2.gap2].astype(np.int64)

@@ -34,10 +34,12 @@ from cgx_tpu.utils.batching import chunked_batch
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd"))
-def _gc_batch(rlp, lr_tar, gostart, mrs, mgs, fwd):
+def _gc_batch(rlp, lr_tar, gostart, offs, mrs, mgs, fwd):
     """Gap checks for all MMOV moves of each occurrence; the token scan,
     membership, and ownership tests run on the host (numpy) so only occurrences
     that own at least one cell candidate reach the device."""
+    from cgx_tpu.utils.views import make_views
+    _, rlp, lr_tar = make_views(rlp, rlp, lr_tar, offs)
     anchor = gostart + 1 if fwd else gostart - 1
     f = functools.partial(_gap_check_grow, rlp, lr_tar)
     return jax.vmap(lambda a: f(a, mgs - 1, mrs, fwd))(anchor)
@@ -131,7 +133,7 @@ def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
             continue
         gc = chunked_batch(
             lambda g: (_gc_batch(index.rlp, index.lr_tar,
-                                 jnp.asarray(g), mrs, mgs, fwd),),
+                                 jnp.asarray(g), index.offs0, mrs, mgs, fwd),),
             [gostart[live]])[0]
         ii_l, mm = np.nonzero(owns[live])
         ii = live[ii_l]

@@ -367,9 +367,13 @@ def _contig_batch_pos(refstr, rlp, lr_tar, cs, lm, offs, mrs, msym):
     return jax.vmap(f)(cs, lm)
 
 
-def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig):
+def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig,
+                           engine=None):
     """Host orchestration for extractConsistentPairs_Gappy: sampled occurrence
     list -> device batch -> canonical compaction + stable id sort."""
+    if engine is None:
+        from cgx_tpu.engine import ReplicatedEngine
+        engine = ReplicatedEngine(index, None, cfg)
     G = len(blocks.start)
     lo = np.where(blocks.matchlen >= 1, blocks.start, 0)
     hi = np.where(blocks.matchlen >= 1, blocks.end, -1)
@@ -380,12 +384,7 @@ def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig):
         empty = GapRules(*(np.empty(0, np.int32) for _ in range(7)))
         return (ContigRules(*(np.empty(0, np.int32) for _ in range(3))),
                 empty, empty)
-    out = chunked_batch(
-        lambda sp, lp: _contig_batch(
-            index.refstr_padded, index.sa, index.rlp, index.lr_tar,
-            jnp.asarray(sp), jnp.asarray(lp), index.offs0, cfg.max_rule_span,
-            cfg.max_rule_symbols),
-        [np.asarray(sa_pos, np.int32), np.asarray(lms, np.int32)])
+    out = engine.contig(sa_pos, lms)
     (ab_v, ab_ts, ab_len,
      x_v, x_ts, x_te, x_g1s, x_g1e,
      a_v, a_ts, a_te, a_g1s, a_g1e,
@@ -608,7 +607,10 @@ def _onegap_occurrences(search1, onegap_sa, pc, sampler, is_sample):
 
 
 def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
-                       pc: Precomp, cfg: ExtractorConfig):
+                       pc: Precomp, cfg: ExtractorConfig, engine=None):
+    if engine is None:
+        from cgx_tpu.engine import ReplicatedEngine
+        engine = ReplicatedEngine(index, None, cfg)
     D1 = len(search1.qrystart)
     ids, css, fes = _onegap_occurrences(search1, onegap_sa, pc,
                                         cfg.sampler_onegap, cfg.is_sample)
@@ -618,13 +620,7 @@ def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
         empty = GapRules(*(np.empty(0, np.int32) for _ in range(7)))
         return empty, empty
     ids = np.asarray(ids, dtype=np.int64)
-    out = chunked_batch(
-        lambda a, b, c, d: _onegap_batch(
-            index.refstr_padded, index.rlp, index.lr_tar,
-            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d),
-            index.offs0, cfg.max_rule_span, cfg.max_rule_symbols),
-        [np.asarray(css, np.int32), np.asarray(fes, np.int32),
-         np.asarray(sls, np.int32), np.asarray(els, np.int32)])
+    out = engine.onegap(css, fes, sls, els)
     (b_v, b_ts, b_te, b_g1s, b_g1e,
      l_v, l_ts, l_te, l_g1s, l_g1e,
      r_v, r_ts, r_te, r_g2s, r_g2e) = out
@@ -692,7 +688,11 @@ def _twogap_batch(refstr, rlp, lr_tar, cs, fe, se, sl, el, cl, offs, mrs):
 
 
 def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
-                       twogap_sa: GapOnSA, cfg: ExtractorConfig) -> GapRules:
+                       twogap_sa: GapOnSA, cfg: ExtractorConfig,
+                       engine=None) -> GapRules:
+    if engine is None:
+        from cgx_tpu.engine import ReplicatedEngine
+        engine = ReplicatedEngine(index, None, cfg)
     D2 = len(search2.blockid)
     ids, tx = occurrence_lists(search2.start_on_salist, search2.end_on_salist,
                                cfg.sampler_twogap, cfg.is_sample)
@@ -706,15 +706,9 @@ def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
     cls = search2.qryend_len.astype(np.int64)[ids] if len(ids) else ids
     if len(ids) == 0:
         return GapRules(*(np.empty(0, np.int32) for _ in range(7)))
-    out = chunked_batch(
-        lambda a, b, c, d, e, f: _twogap_batch(
-            index.refstr_padded, index.rlp, index.lr_tar,
-            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d),
-            jnp.asarray(e), jnp.asarray(f), index.offs0, cfg.max_rule_span),
-        [np.asarray(css, np.int32), np.asarray(fes, np.int32),
-         np.asarray(ses, np.int32), np.asarray(sls, np.int32),
-         np.asarray(els, np.int32), np.asarray(cls, np.int32)])
+    out = engine.twogap(css, fes, ses, sls, els, cls)
     v, ts, te, g1s, g1e, g2s, g2e = out
+    v = v.astype(bool)
     m = v
     a = np.stack([ts[m], (te - ts)[m], (g1s - ts)[m], (g1e - ts)[m],
                   (g2s - ts)[m], (g2e - ts)[m], ids[m]], axis=1).astype(np.int64)

@@ -61,6 +61,26 @@ class GrammarIndex:
                 int(self.rlp.shape[0]), int(self.lr_tar.shape[0]))
 
 
+@dataclasses.dataclass
+class HostLexIndex:
+    """The host-side slice of the index that MaxLex scoring reads
+    (features.maxlex runs on host by measured choice); lets sharded-index mode
+    skip materializing any full device array."""
+
+    tgt_str_host: np.ndarray
+    lex_key: np.ndarray
+    lex_val1_host: np.ndarray
+    lex_val2_host: np.ndarray
+
+
+def build_host_lex_index(target: TargetCorpus, lex: LexTable) -> HostLexIndex:
+    return HostLexIndex(
+        tgt_str_host=np.asarray(target.str_),
+        lex_key=pack_lex_key(lex.keys_src, lex.keys_tgt),
+        lex_val1_host=np.asarray(lex.val1, dtype=np.float32),
+        lex_val2_host=np.asarray(lex.val2, dtype=np.float32))
+
+
 def pack_lex_key(src: np.ndarray, tgt: np.ndarray) -> np.ndarray:
     """Order-preserving packing of (src, tgt) int32 pairs into sortable int64:
     matches the (ch, eng) lexicographic comparator (lexFileCompare,

@@ -1,0 +1,537 @@
+"""Fully-sharded index engine: every O(corpus) array split across the devices
+of a mesh, for corpora beyond a single chip's HBM (SURVEY.md section 2.3,
+"TP for the index"; replaces the reference's hard single-device residency
+constraint, ComTypes.h:23 REF_DEV_BUF_RATIO / Start.cu:496).
+
+Layout
+------
+* ``sa``            — RANK-sharded: contiguous global-rank chunks, one per
+                      device.  Rank-indexed access (occurrence expansion in
+                      exact global SA order — the order sampling and rule
+                      emission depend on) is a one-hot ``psum`` gather.
+* ``refstr``/``rlp``— TOKEN-sharded: contiguous corpus slices plus bounded
+                      halos (back: one max sentence + rule span, for the
+                      sentence-anchor walk at ExtractPair.cu:1183-1191; front:
+                      rule span + scan moves).
+* ``lr_tar``        — TARGET-sharded: the target-token range of the sentences
+                      overlapping each source slice.
+* interval-LCP trees — NOT materialized on device at all (2 of the reference's
+                      6 words/token): the sharded search below never reads them.
+
+Search: interval refinement instead of transplanted binary search
+-----------------------------------------------------------------
+Pass 1/2 outputs (``up``/``down``/``longestmatch``) are functions of
+(corpus, queries) only, so the sharded engine computes them with an algorithm
+that maps better to distributed memory than the reference's LCP-accelerated
+search (SuffixArray.cu:402-767): for a query token, the SA interval of its
+length-(L+1) prefix is a sub-interval of its length-L interval, and within
+that interval the (L+1)-th suffix tokens are sorted.  Refining therefore needs
+only *single-token* lookups ``refstr[sa[M] + L]`` — each a pair of one-hot
+psum gathers over ICI — instead of whole-suffix window comparisons.  Two
+integer lower-bound searches per depth yield the exact global interval; every
+device executes the identical lockstep search (replicated compute over sharded
+memory), so results are bit-equal to the replicated path by construction
+(enforced by tests/test_sharded_engine.py).
+
+Downstream scans (gappy lookups, extraction) are owner-computes: work items
+are partitioned by the corpus position they read around, and each device runs
+the unchanged kernels (cgx_tpu.search.lookup / cgx_tpu.extract.device) over
+its slice through global->local OffsetViews (cgx_tpu.utils.views).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cgx_tpu.config import ExtractorConfig
+from cgx_tpu.search import passes
+from cgx_tpu.types import Pass1Result, Pass2Result
+from cgx_tpu.utils.batching import chunked_batch, pad_items
+
+import warnings
+
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore", DeprecationWarning)
+    from jax.experimental.shard_map import shard_map  # check_rep supported
+
+MMOV = 16          # scan move width (search.lookup.MMOV)
+DEPTH_CHUNK = 4    # refinement depths per device dispatch
+
+
+def make_mesh(n_devices: int = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), axis_names=("sa",))
+
+
+@dataclasses.dataclass
+class ShardedGrammarIndex:
+    mesh: Mesh
+    S: int
+    reflen: int          # global rank count (= corpus token count)
+    ref_glen: int        # padded refstr global length
+    rlp_glen: int
+    tgt_glen: int
+    B: int               # owned source tokens per shard
+    BR: int              # owned ranks per shard
+    BH: int              # source back halo
+    sa_l: jax.Array      # int32 [S, BR] rank-sharded global SA
+    ref_l: jax.Array     # int32 [S, tlen] token slices of refstr_padded
+    rlp_l: jax.Array     # uint32 [S, tlen]
+    lrt_l: jax.Array     # int32 [S, ttlen] target slices of lr_tar
+    src_off: np.ndarray  # int64 [S] global index of ref_l[s][0]
+    tgt_off: np.ndarray  # int64 [S] global index of lrt_l[s][0]
+    rmeta: jax.Array     # int32 [S, 1, 2] (rank_start, rank_count), sharded
+    smeta: jax.Array     # int32 [S, 1, 3] (src_off, own_lo, own_hi), sharded
+    # per-shard device-local handles (populated lazily)
+    _shards: dict = dataclasses.field(default_factory=dict)
+    _qtok_cache: dict = dataclasses.field(default_factory=dict)
+
+    def owner_of(self, pos: np.ndarray) -> np.ndarray:
+        """Owning shard of a corpus position (uniform chunks)."""
+        return np.clip(np.asarray(pos, np.int64) // self.B, 0, self.S - 1)
+
+    def shard_arrays(self, s: int):
+        """(ref, rlp, lrt, offs) device-local views for shard ``s``."""
+        if s not in self._shards:
+            def piece(arr):
+                shards = sorted(arr.addressable_shards,
+                                key=lambda sh: sh.index[0].start or 0)
+                return shards[s].data.reshape(shards[s].data.shape[1:])
+            offs = (jnp.int32(self.src_off[s]), jnp.int32(self.tgt_off[s]),
+                    jnp.int32(self.ref_glen), jnp.int32(self.rlp_glen),
+                    jnp.int32(self.tgt_glen))
+            self._shards[s] = (piece(self.ref_l), piece(self.rlp_l),
+                               piece(self.lrt_l), offs)
+        return self._shards[s]
+
+    def device_of(self, s: int):
+        return self.mesh.devices.reshape(-1)[s]
+
+    def qtok_on(self, s: int, queries):
+        key = (s, id(queries))
+        if key not in self._qtok_cache:
+            self._qtok_cache[key] = jax.device_put(
+                passes.pad_query_tokens(queries.tokens), self.device_of(s))
+        return self._qtok_cache[key]
+
+    def memory_per_device(self) -> dict:
+        """Bytes of index state per device (the beyond-HBM story in numbers)."""
+        per = {
+            "sa": self.sa_l.dtype.itemsize * self.sa_l.shape[1],
+            "refstr": self.ref_l.dtype.itemsize * self.ref_l.shape[1],
+            "rlp": self.rlp_l.dtype.itemsize * self.rlp_l.shape[1],
+            "lr_tar": self.lrt_l.dtype.itemsize * self.lrt_l.shape[1],
+        }
+        per["total"] = sum(per.values())
+        per["replicated_equiv"] = 4 * (
+            self.ref_glen + self.reflen * 3 + self.rlp_glen + self.tgt_glen)
+        return per
+
+
+def build_sharded_index(source, target, sa, align, cfg: ExtractorConfig,
+                        mesh: Mesh = None,
+                        n_devices: int = None) -> ShardedGrammarIndex:
+    """Slice the corpus index across a mesh.  All slices are materialized from
+    the host artifact arrays; in a multi-host deployment each host materializes
+    only its processes' slices (the artifact is build-once, query-many)."""
+    mesh = mesh or make_mesh(n_devices)
+    S = mesh.devices.size
+    mrs = cfg.max_rule_span
+    refstr_padded = passes.pad_refstr(np.asarray(source.str_),
+                                      cfg.qry_max_length)
+    rlp_padded = np.concatenate([
+        np.asarray(align.RLP, dtype=np.uint32),
+        np.full(mrs + 2, 0xFFFF0000, dtype=np.uint32)])
+    tgt_pad = np.full(mrs + 2, 255, dtype=np.int32)
+    l_tar = np.concatenate([align.L_tar.astype(np.int32), tgt_pad])
+    r_tar = np.concatenate([align.R_tar.astype(np.int32), tgt_pad])
+    lr_tar = (l_tar << 8) | r_tar
+
+    reflen = source.toklen
+    ref_glen = len(refstr_padded)
+    rlp_glen = len(rlp_padded)
+    tgt_glen = len(lr_tar)
+
+    # ---- token-sharded source slices (uniform length, bounded halos)
+    BH = 256 + mrs + 16                 # sentence-anchor walk + span + slack
+    FH = mrs + MMOV + 2 * mrs + 32      # scans + growth windows + slack
+    B = -(-ref_glen // S)
+    own_lo = np.arange(S, dtype=np.int64) * B
+    own_hi = np.minimum(own_lo + B, ref_glen)
+    src_off = own_lo - BH
+    tlen = B + BH + FH
+    cols = src_off[:, None] + np.arange(tlen)[None, :]
+    inb = (cols >= 0) & (cols < ref_glen)
+    ref_l = np.where(inb, refstr_padded[np.clip(cols, 0, ref_glen - 1)],
+                     0).astype(np.int32)
+    inb_r = (cols >= 0) & (cols < rlp_glen)
+    rlp_l = np.where(inb_r, rlp_padded[np.clip(cols, 0, rlp_glen - 1)],
+                     np.uint32(0xFFFF0000)).astype(np.uint32)
+
+    # ---- target slices: sentences overlapping each source slice (+slack)
+    src_sent = np.asarray(source.sentenceind, dtype=np.int64)
+    tgt_sent = np.asarray(target.sentenceind, dtype=np.int64)
+    n_sent = len(src_sent) - 1
+
+    def sent_of(pos):
+        return np.clip(np.searchsorted(src_sent, pos, side="right") - 1,
+                       0, n_sent - 1)
+    s_first = sent_of(np.maximum(own_lo - BH, 0))
+    s_last = sent_of(np.minimum(own_hi + FH, reflen - 1))
+    TH = MMOV + 2
+    tgt_lo = np.maximum(tgt_sent[s_first] - TH, 0)
+    tgt_hi = np.minimum(tgt_sent[np.minimum(s_last + 1, n_sent)] + TH,
+                        tgt_glen)
+    tgt_hi[-1] = tgt_glen              # last shard sees the global pad rows
+    ttlen = int((tgt_hi - tgt_lo).max())
+    tcols = tgt_lo[:, None] + np.arange(ttlen)[None, :]
+    tinb = (tcols >= 0) & (tcols < tgt_glen)
+    lrt_l = np.where(tinb, lr_tar[np.clip(tcols, 0, tgt_glen - 1)],
+                     (255 << 8) | 255).astype(np.int32)
+
+    # ---- rank-sharded global SA
+    BR = -(-reflen // S)
+    rstart = np.arange(S, dtype=np.int64) * BR
+    rcount = np.minimum(rstart + BR, reflen) - rstart
+    rcols = rstart[:, None] + np.arange(BR)[None, :]
+    sa_np = np.asarray(sa.sa, dtype=np.int32)
+    sa_l = sa_np[np.clip(rcols, 0, reflen - 1)]
+
+    shard = NamedSharding(mesh, P("sa"))
+    rmeta = np.stack([rstart, rcount], axis=1).astype(np.int32)[:, None, :]
+    smeta = np.stack([src_off, own_lo, own_hi], axis=1).astype(
+        np.int32)[:, None, :]
+    return ShardedGrammarIndex(
+        mesh=mesh, S=S, reflen=reflen, ref_glen=ref_glen, rlp_glen=rlp_glen,
+        tgt_glen=tgt_glen, B=B, BR=BR, BH=BH,
+        sa_l=jax.device_put(sa_l, shard),
+        ref_l=jax.device_put(ref_l, shard),
+        rlp_l=jax.device_put(rlp_l, shard),
+        lrt_l=jax.device_put(lrt_l, shard),
+        src_off=src_off, tgt_off=tgt_lo,
+        rmeta=jax.device_put(rmeta, shard),
+        smeta=jax.device_put(smeta, shard))
+
+
+# ---------------------------------------------------------------------------
+# distributed single-token gathers + the interval-refinement search
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("mesh", "depths"))
+def _refine_chunk(sa_l, ref_l, rmeta, smeta, qtok, toks, sls, lo, hi, d0, *,
+                  mesh, depths):
+    def body(sa_s, ref_s, rmeta_s, smeta_s, qtok_r, toks_r, sls_r, lo_r,
+             hi_r, d0_r):
+        sa_s = sa_s[0]
+        ref_s = ref_s[0]
+        rstart = rmeta_s[0, 0, 0]
+        rcount = rmeta_s[0, 0, 1]
+        soff = smeta_s[0, 0, 0]
+        olo = smeta_s[0, 0, 1]
+        ohi = smeta_s[0, 0, 2]
+
+        def g_sa(r):
+            loc = r - rstart
+            ok = (loc >= 0) & (loc < rcount)
+            v = jnp.where(ok, sa_s[jnp.clip(loc, 0, sa_s.shape[0] - 1)], 0)
+            return jax.lax.psum(v, "sa")
+
+        def g_ref(p):
+            ok = (p >= olo) & (p < ohi)
+            v = jnp.where(ok, ref_s[jnp.clip(p - soff, 0,
+                                             ref_s.shape[0] - 1)], 0)
+            return jax.lax.psum(v, "sa")
+
+        def lane(tok, sl, lo0, hi0):
+            def lb(l0, h0, key, depth):
+                def cond(st):
+                    return st[1] > st[0]
+
+                def step(st):
+                    l, h = st
+                    M = (l + h) >> 1
+                    t = g_ref(g_sa(M) + depth)
+                    ge = t >= key
+                    return jnp.where(ge, l, M + 1), jnp.where(ge, M, h)
+                return jax.lax.while_loop(cond, step, (l0, h0))[0]
+
+            def dstep(c, st):
+                lo_c, hi_c, ups, downs = st
+                depth = d0_r + c
+                qt = jnp.where(depth < sl, qtok_r[tok + depth], jnp.int32(-1))
+                nlo = lb(lo_c, hi_c, qt, depth)
+                nhi = lb(nlo, hi_c, qt + jnp.int32(1), depth)
+                ups = ups.at[c].set(nlo)
+                downs = downs.at[c].set(nhi - 1)
+                return nlo, nhi, ups, downs
+
+            z = jnp.zeros(depths, jnp.int32)
+            lo_f, hi_f, ups, downs = jax.lax.fori_loop(
+                0, depths, dstep, (lo0, hi0, z, z))
+            return ups, downs, lo_f, hi_f
+
+        return jax.vmap(lane)(toks_r, sls_r, lo_r, hi_r)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P("sa"), P("sa"), P("sa"), P("sa"),
+                  P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()), check_rep=False)(
+            sa_l, ref_l, rmeta, smeta, qtok, toks, sls, lo, hi, d0)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _gather_sa_chunk(sa_l, rmeta, rows, *, mesh):
+    def body(sa_s, rmeta_s, rows_r):
+        rstart = rmeta_s[0, 0, 0]
+        rcount = rmeta_s[0, 0, 1]
+        loc = rows_r - rstart
+        ok = (loc >= 0) & (loc < rcount)
+        v = jnp.where(ok, sa_s[0][jnp.clip(loc, 0, sa_s.shape[1] - 1)], 0)
+        return jax.lax.psum(v, "sa")
+    return shard_map(body, mesh=mesh, in_specs=(P("sa"), P("sa"), P()),
+                     out_specs=P(), check_rep=False)(sa_l, rmeta, rows)
+
+
+def gather_sa(sidx: ShardedGrammarIndex, rows: np.ndarray) -> np.ndarray:
+    """SA values at global ranks from the rank-sharded storage (exact global
+    rank order — the canonical occurrence order downstream depends on)."""
+    rows = np.asarray(rows, np.int32)
+    if len(rows) == 0:
+        return np.empty(0, np.int32)
+    out = chunked_batch(
+        lambda r: (_gather_sa_chunk(sidx.sa_l, sidx.rmeta, jnp.asarray(r),
+                                    mesh=sidx.mesh),), [rows])
+    return out[0].astype(np.int32)
+
+
+def sharded_passes(sidx: ShardedGrammarIndex, queries):
+    """Pass 1 + pass 2 via interval refinement; bit-equal to
+    passes.pass1_tpu / pass2_tpu (search-path internals firstfindhit* are
+    reported as -1 — they are not semantic outputs)."""
+    n = queries.totaltokens
+    ends = np.array([queries.query_end(int(q)) for q in queries.tok_to_qry],
+                    dtype=np.int32)
+    toks = np.arange(n, dtype=np.int32)
+    sls = ends - toks
+    qtok_dev = jnp.asarray(passes.pad_query_tokens(queries.tokens))
+
+    lo = np.zeros(n, np.int32)
+    hi = np.full(n, sidx.reflen, np.int32)
+    alive = np.ones(n, bool) if n else np.zeros(0, bool)
+    ups_all, downs_all = [], []
+    depth = 0
+    max_depth = int(sls.max()) if n else 0
+    while alive.any() and depth < max_depth:
+        idx = np.flatnonzero(alive)
+        nreal, toks_p, sls_p, lo_p, hi_p = pad_items(
+            toks[idx], sls[idx], lo[idx], hi[idx])
+        ups, downs, lo2, hi2 = _refine_chunk(
+            sidx.sa_l, sidx.ref_l, sidx.rmeta, sidx.smeta, qtok_dev,
+            jnp.asarray(toks_p), jnp.asarray(sls_p), jnp.asarray(lo_p),
+            jnp.asarray(hi_p), jnp.int32(depth),
+            mesh=sidx.mesh, depths=DEPTH_CHUNK)
+        ups = np.asarray(ups)[:nreal]
+        downs = np.asarray(downs)[:nreal]
+        lo2 = np.asarray(lo2)[:nreal]
+        hi2 = np.asarray(hi2)[:nreal]
+        for c in range(DEPTH_CHUNK):
+            u = np.full(n, -1, np.int32)
+            d = np.full(n, -2, np.int32)
+            u[idx] = ups[:, c]
+            d[idx] = downs[:, c]
+            ups_all.append(u)
+            downs_all.append(d)
+        lo[idx] = lo2
+        hi[idx] = hi2
+        alive[idx] = hi2 > lo2
+        depth += DEPTH_CHUNK
+
+    # longestmatch: deepest depth with a non-empty interval
+    lm = np.zeros(n, np.int32)
+    for dix in range(len(ups_all)):
+        hit = (ups_all[dix] >= 0) & (downs_all[dix] >= ups_all[dix])
+        lm = np.where(hit, dix + 1, lm)
+    neg = np.full(n, -1, np.int32)
+    if ups_all:
+        hit1 = (lm >= 1)
+        up1 = np.where(hit1, ups_all[0], -1).astype(np.int32)
+        down1 = np.where(hit1, downs_all[0], -1).astype(np.int32)
+    else:
+        up1, down1 = neg.copy(), neg.copy()
+    p1 = Pass1Result(up=up1, down=down1, firstfindhit=neg.copy(),
+                     firstfindhitL=neg.copy(), firstfindhitR=neg.copy(),
+                     longestmatch=lm)
+
+    connectoffset, toks2, matches = passes.pass2_work_items(p1)
+    if len(toks2) == 0:
+        p2 = Pass2Result(connectoffset=connectoffset,
+                         up=np.empty(0, np.int32),
+                         down=np.empty(0, np.int32))
+    else:
+        ups_m = np.stack(ups_all) if ups_all else np.empty((0, n), np.int32)
+        downs_m = np.stack(downs_all) if downs_all \
+            else np.empty((0, n), np.int32)
+        p2 = Pass2Result(
+            connectoffset=connectoffset,
+            up=ups_m[matches - 1, toks2].astype(np.int32),
+            down=downs_m[matches - 1, toks2].astype(np.int32))
+    return p1, p2
+
+
+# ---------------------------------------------------------------------------
+# owner-computes dispatch of the scan/extraction kernels
+# ---------------------------------------------------------------------------
+
+class ShardedEngine:
+    """Drop-in engine for the device stages of the pipeline: same methods as
+    cgx_tpu.engine.ReplicatedEngine, but every dispatch is partitioned by the
+    owning shard of the position each work item reads around, and runs on that
+    shard's device against its local slices."""
+
+    def __init__(self, sidx: ShardedGrammarIndex, cfg: ExtractorConfig):
+        self.sidx = sidx
+        self.cfg = cfg
+
+    # -- SA value access (global rank order preserved)
+    def sa_values(self, rows: np.ndarray) -> np.ndarray:
+        return gather_sa(self.sidx, rows)
+
+    def _partitioned(self, pos_key, items, run_one, out_shapes):
+        """Partition items by owner shard, run ``run_one(s, *items_s)`` per
+        shard, reassemble outputs in original item order.
+
+        ``out_shapes``: list of per-item trailing shapes (e.g. () or (MMOV,)).
+        Returns list of np arrays [N, *shape].
+        """
+        sidx = self.sidx
+        N = len(pos_key)
+        owner = sidx.owner_of(pos_key)
+        outs = None
+        for s in range(sidx.S):
+            sel = np.flatnonzero(owner == s)
+            if not len(sel):
+                continue
+            res = run_one(s, *[a[sel] for a in items])
+            if outs is None:
+                outs = [np.zeros((N,) + tuple(np.shape(r)[1:]), r.dtype)
+                        for r in res]
+            for o, r in zip(outs, res):
+                o[sel] = r
+        if outs is None:
+            outs = [np.zeros((N,) + tuple(sh), np.int32)
+                    for sh in out_shapes]
+        return outs
+
+    # -- lookup kernels ----------------------------------------------------
+    def fwd(self, queries, gostart, sl, el, stok):
+        from cgx_tpu.search.lookup import _fwd_batch
+        cfg = self.cfg
+
+        def run_one(s, g, a, b, c):
+            ref, rlp, lrt, offs = self.sidx.shard_arrays(s)
+            qt = self.sidx.qtok_on(s, queries)
+            return chunked_batch(
+                lambda *x: _fwd_batch(ref, rlp, lrt, qt,
+                                      *(jnp.asarray(v) for v in x), offs,
+                                      cfg.max_rule_span, cfg.min_gap_size),
+                [g, a, b, c])
+        return self._partitioned(gostart, [gostart, sl, el, stok], run_one,
+                                 [(MMOV,), (MMOV,)])
+
+    def bwd(self, queries, gostart, sl, el, tok):
+        from cgx_tpu.search.lookup import _bwd_batch
+        cfg = self.cfg
+
+        def run_one(s, g, a, b, c):
+            ref, rlp, lrt, offs = self.sidx.shard_arrays(s)
+            qt = self.sidx.qtok_on(s, queries)
+            return chunked_batch(
+                lambda *x: _bwd_batch(ref, rlp, lrt, qt,
+                                      *(jnp.asarray(v) for v in x), offs,
+                                      cfg.max_rule_span, cfg.min_gap_size),
+                [g, a, b, c])
+        return self._partitioned(gostart, [gostart, sl, el, tok], run_one,
+                                 [(MMOV,), (MMOV,), (MMOV,)])
+
+    def pcs(self, queries, pstart, plen, sl, el, tok, stok):
+        from cgx_tpu.search.lookup import _pcs_batch
+        cfg = self.cfg
+
+        def run_one(s, *its):
+            ref, rlp, lrt, offs = self.sidx.shard_arrays(s)
+            qt = self.sidx.qtok_on(s, queries)
+            return chunked_batch(
+                lambda *x: _pcs_batch(ref, qt, *(jnp.asarray(v) for v in x),
+                                      offs, cfg.max_rule_span),
+                list(its))
+        return self._partitioned(pstart, [pstart, plen, sl, el, tok, stok],
+                                 run_one, [(), (), ()])
+
+    def two(self, pstart, plen):
+        from cgx_tpu.search.lookup import _two_batch
+        cfg = self.cfg
+
+        def run_one(s, p, q):
+            ref, rlp, lrt, offs = self.sidx.shard_arrays(s)
+            return chunked_batch(
+                lambda *x: _two_batch(ref, rlp, lrt,
+                                      *(jnp.asarray(v) for v in x), offs,
+                                      cfg.max_rule_span, cfg.min_gap_size),
+                [p, q])
+        return self._partitioned(pstart, [pstart, plen], run_one,
+                                 [(MMOV,), (MMOV,), (MMOV,), (MMOV,)])
+
+    # -- extraction kernels ------------------------------------------------
+    def contig(self, sa_pos, lm):
+        from cgx_tpu.extract.device import _contig_batch_pos
+        cfg = self.cfg
+        cs_all = self.sa_values(np.asarray(sa_pos, np.int32))
+
+        def run_one(s, c, l):
+            ref, rlp, lrt, offs = self.sidx.shard_arrays(s)
+            return chunked_batch(
+                lambda *x: _contig_batch_pos(ref, rlp, lrt,
+                                             *(jnp.asarray(v) for v in x),
+                                             offs, cfg.max_rule_span,
+                                             cfg.max_rule_symbols),
+                [c, l])
+        return self._partitioned(cs_all, [cs_all,
+                                          np.asarray(lm, np.int32)],
+                                 run_one, [()] * 20)
+
+    def onegap(self, css, fes, sls, els):
+        from cgx_tpu.extract.device import _onegap_batch
+        cfg = self.cfg
+
+        def run_one(s, *its):
+            ref, rlp, lrt, offs = self.sidx.shard_arrays(s)
+            return chunked_batch(
+                lambda *x: _onegap_batch(ref, rlp, lrt,
+                                         *(jnp.asarray(v) for v in x), offs,
+                                         cfg.max_rule_span,
+                                         cfg.max_rule_symbols),
+                list(its))
+        return self._partitioned(css, [css, fes, sls, els], run_one,
+                                 [()] * 15)
+
+    def twogap(self, css, fes, ses, sls, els, cls):
+        from cgx_tpu.extract.device import _twogap_batch
+        cfg = self.cfg
+
+        def run_one(s, *its):
+            ref, rlp, lrt, offs = self.sidx.shard_arrays(s)
+            return chunked_batch(
+                lambda *x: _twogap_batch(ref, rlp, lrt,
+                                         *(jnp.asarray(v) for v in x), offs,
+                                         cfg.max_rule_span),
+                list(its))
+        return self._partitioned(css, [css, fes, ses, sls, els, cls],
+                                 run_one, [()] * 7)

@@ -52,18 +52,22 @@ class PipelineResult:
 
 def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
                    cfg: ExtractorConfig = DEFAULT_CONFIG,
-                   timing: PhaseTimer = None, index_dir: str = None):
+                   timing: PhaseTimer = None, index_dir: str = None,
+                   device_index: bool = True):
     """One-time corpus preprocessing -> (artifact, device GrammarIndex).
     With ``index_dir``, loads a previously persisted artifact when present and
-    persists a fresh build otherwise (build-once / query-many)."""
+    persists a fresh build otherwise (build-once / query-many).
+    ``device_index=False`` (sharded-index mode) skips/releases the fully
+    replicated device placement — only the one-time fresh build touches it
+    (the precompute pass), never the query path."""
     import os
     t = timing or PhaseTimer()
     if index_dir and os.path.exists(os.path.join(index_dir, "meta.json")):
         with t.phase("indexload"):
             art, _built_cfg = index_io.load(index_dir)
         with t.phase("qrysin"):
-            index = ic.build_index(art.source, art.target, art.sa, art.align,
-                                   art.lex, cfg)
+            index = (ic.build_index(art.source, art.target, art.sa, art.align,
+                                    art.lex, cfg) if device_index else None)
         return art, index, t
     with t.phase("refsin"):
         source = (cp.load_source_corpus_text(f_lines) if isinstance(f_lines, str)
@@ -83,6 +87,8 @@ def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
     if index_dir:
         with t.phase("indexsave"):
             index_io.save(index_dir, art, cfg)
+    if not device_index:
+        index = None   # release the replicated device arrays (build-time only)
     return art, index, t
 
 
@@ -90,24 +96,34 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
                  cfg: ExtractorConfig = DEFAULT_CONFIG,
                  timing: PhaseTimer = None, index_dir: str = None,
                  sa_shards: int = 0) -> PipelineResult:
-    """``sa_shards > 0`` runs pass 1/2 in sharded-SA mode: the rank-indexed
-    arrays live split across that many devices (parallel.sharded_sa) for corpora
-    beyond single-chip HBM; all downstream stages are unchanged."""
+    """``sa_shards > 0`` runs the query path in sharded-index mode: every
+    O(corpus) device array (SA, refstr, RLP, target spans) lives split across
+    that many devices (parallel.sharded) for corpora beyond single-chip HBM;
+    there is no replicated O(corpus) device array and no host-SA read anywhere
+    in the query path (SA values come from distributed gathers)."""
     art, index, t = build_artifact(f_lines, e_lines, a_lines, lex_tokens, cfg,
-                                   timing, index_dir)
+                                   timing, index_dir,
+                                   device_index=(sa_shards == 0))
     source, target, align = art.source, art.target, art.align
     sa, pc = art.sa, art.precomp
     with t.phase("qrysload"):
         queries = cp.load_queries(q_lines, source.vocab)
-    sa_host = np.asarray(sa.sa)
     if sa_shards:
-        from cgx_tpu.parallel import sharded_sa as ssm
-        ssa = ssm.build_sharded_sa(sa, ssm.make_sa_mesh(sa_shards))
+        from cgx_tpu.parallel import sharded as shx
+        with t.phase("qrysin"):
+            sidx = shx.build_sharded_index(source, target, sa, align, cfg,
+                                           n_devices=sa_shards)
+            engine = shx.ShardedEngine(sidx, cfg)
+            lex_index = ic.build_host_lex_index(target, art.lex)
         with t.phase("kernel"):
-            p1, seeds = ssm.pass1_sharded(ssa, index, queries)
-        with t.phase("kernel2"):
-            p2 = ssm.pass2_sharded(ssa, index, queries, p1, seeds)
+            p1, p2 = shx.sharded_passes(sidx, queries)
+        sa_values = engine.sa_values
     else:
+        sa_host = np.asarray(sa.sa)
+        from cgx_tpu.engine import ReplicatedEngine
+        engine = ReplicatedEngine(index, sa_host, cfg)
+        lex_index = index
+        sa_values = None
         with t.phase("kernel"):
             p1 = passes.pass1_tpu(index, queries)
         with t.phase("kernel2"):
@@ -117,8 +133,8 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
             ef.fast_one_gap_enumeration(queries, p1, cfg), queries)
         check_capacity("onegap_enum", len(enum1.number), cfg.cap_onegap_enum)
     with t.phase("lookup1"):
-        onegap_sa = lookup.one_gap_lookup_tpu(index, sa_host, queries, p1, p2,
-                                              search1, pc, cfg)
+        onegap_sa = lookup.one_gap_lookup_tpu(index, None, queries, p1, p2,
+                                              search1, pc, cfg, engine=engine)
         check_capacity("onegap_sa", len(onegap_sa.position), cfg.cap_onegap_sa)
     with t.phase("enumeration"):
         enum2, search2 = ef.fast_sort_and_dedup_twogap(
@@ -127,18 +143,20 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
         check_capacity("twogap_enum", len(enum2.number), cfg.cap_twogap_enum)
     with t.phase("lookup2"):
         twogap_sa = lookup.two_gap_lookup_tpu(index, queries, search1,
-                                              onegap_sa, search2, pc, cfg)
+                                              onegap_sa, search2, pc, cfg,
+                                              engine=engine)
         check_capacity("twogap_sa", len(twogap_sa.position), cfg.cap_twogap_sa)
 
     with t.phase("extractin"):
-        blocks = generate_blocks(sa, queries, p1, p2)
+        blocks = generate_blocks(sa, queries, p1, p2, sa_values=sa_values)
     with t.phase("extractkernel"):
         contig, og_blocks, tg_blocks = xdev.extract_contiguous_tpu(
-            index, blocks, cfg)
+            index, blocks, cfg, engine=engine)
         tg_seeds = xdev.extract_twogap_tpu(index, search1, search2, twogap_sa,
-                                           cfg)
+                                           cfg, engine=engine)
         og_seeds, tg_onegap = xdev.extract_onegap_tpu(index, search1,
-                                                      onegap_sa, pc, cfg)
+                                                      onegap_sa, pc, cfg,
+                                                      engine=engine)
     sep_onegap = len(og_blocks.gappy_index)
     rules1 = _concat_gaprules(og_blocks, og_seeds)
     sep1 = len(tg_blocks.gappy_index)
@@ -157,7 +175,7 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     with t.phase("maxlex"):
         ml.compute_maxlex_tpu(
             {"onegap": tasks_one, "twogap": tasks_two, "contig": tasks_contig},
-            index, rules_one, rules_two, rules_contig, cfg)
+            lex_index, rules_one, rules_two, rules_contig, cfg)
 
     with t.phase("printout"):
         G = len(blocks.start)

@@ -161,8 +161,13 @@ def _pcs_batch(refstr, qtokens, pstart, plen, sl, el, tok, stok, offs, mrs):
 
 def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
                        search: OneGapSearch, pc: Precomp,
-                       cfg: ExtractorConfig) -> GapOnSA:
-    """Host orchestration + device scans; fills search.start/end_on_salist."""
+                       cfg: ExtractorConfig, engine=None) -> GapOnSA:
+    """Host orchestration + device scans; fills search.start/end_on_salist.
+    ``engine`` selects the dispatch/index layout (cgx_tpu.engine); by default
+    the replicated single-device layout over ``index``/``sa_host``."""
+    if engine is None:
+        from cgx_tpu.engine import ReplicatedEngine
+        engine = ReplicatedEngine(index, sa_host, cfg)
     D = len(search.qrystart)
     mrs, mgs = cfg.max_rule_span, cfg.min_gap_size
     qtok = np.asarray(queries.tokens)
@@ -221,15 +226,13 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
         tx = np.arange(len(item_pat)) - np.repeat(offs, counts)
         row = pc.index_start[pci[item_pat]] + tx
-        ok, spos, length = chunked_batch(
-            lambda *a: _pcs_batch(
-                index.refstr_padded, index.device_query_tokens(queries),
-                *(jnp.asarray(x) for x in a), index.offs0, mrs),
-            [pc.onegap_start[row], pc.onegap_length[row],
-             sl_all[item_pat].astype(np.int32),
-             el_all[item_pat].astype(np.int32),
-             tok_all[item_pat].astype(np.int32),
-             stok_all[item_pat].astype(np.int32)])
+        ok, spos, length = engine.pcs(
+            queries, pc.onegap_start[row], pc.onegap_length[row],
+            sl_all[item_pat].astype(np.int32),
+            el_all[item_pat].astype(np.int32),
+            tok_all[item_pat].astype(np.int32),
+            stok_all[item_pat].astype(np.int32))
+        ok = ok.astype(bool)
         if ok.any():
             rows_parts.append(np.stack([
                 item_pat[ok], spos[ok].astype(np.int64),
@@ -245,30 +248,22 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         item_pat = np.repeat(ids, counts)
         offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
         tx = np.arange(len(item_pat)) - np.repeat(offs, counts)
-        gostart = sa_host[np.repeat(lo, counts) + tx].astype(np.int32)
+        gostart = engine.sa_values(np.repeat(lo, counts) + tx)
         if fwd:
-            valid, length = chunked_batch(
-                lambda *a: _fwd_batch(
-                    index.refstr_padded, index.rlp, index.lr_tar,
-                    index.device_query_tokens(queries),
-                    *(jnp.asarray(x) for x in a), index.offs0, mrs, mgs),
-                [gostart, sl_all[item_pat].astype(np.int32),
-                 el_all[item_pat].astype(np.int32),
-                 stok_all[item_pat].astype(np.int32)])
+            valid, length = engine.fwd(
+                queries, gostart, sl_all[item_pat].astype(np.int32),
+                el_all[item_pat].astype(np.int32),
+                stok_all[item_pat].astype(np.int32))
             ii, mm = np.nonzero(valid)
             if len(ii):
                 rows_parts.append(np.stack([
                     item_pat[ii], gostart[ii].astype(np.int64),
                     length[ii, mm].astype(np.int64)], axis=1))
         else:
-            valid, spos, length = chunked_batch(
-                lambda *a: _bwd_batch(
-                    index.refstr_padded, index.rlp, index.lr_tar,
-                    index.device_query_tokens(queries),
-                    *(jnp.asarray(x) for x in a), index.offs0, mrs, mgs),
-                [gostart, sl_all[item_pat].astype(np.int32),
-                 el_all[item_pat].astype(np.int32),
-                 tok_all[item_pat].astype(np.int32)])
+            valid, spos, length = engine.bwd(
+                queries, gostart, sl_all[item_pat].astype(np.int32),
+                el_all[item_pat].astype(np.int32),
+                tok_all[item_pat].astype(np.int32))
             ii, mm = np.nonzero(valid)
             if len(ii):
                 rows_parts.append(np.stack([
@@ -330,8 +325,12 @@ def _two_batch(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs):
 
 def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
                        onegap_sa: GapOnSA, search2: TwoGapSearch,
-                       pc: Precomp, cfg: ExtractorConfig) -> GapOnSA:
+                       pc: Precomp, cfg: ExtractorConfig,
+                       engine=None) -> GapOnSA:
     from cgx_tpu.extract.device import _onegap_occurrences
+    if engine is None:
+        from cgx_tpu.engine import ReplicatedEngine
+        engine = ReplicatedEngine(index, None, cfg)
     D2 = len(search2.blockid)
     mrs, mgs = cfg.max_rule_span, cfg.min_gap_size
     # Scan every distinct 1-gap pattern's cores ONCE (unsampled, precomp-expanded)
@@ -343,11 +342,10 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
         search1, onegap_sa, pc, 0, False)
     if len(one_ids_all) == 0 or D2 == 0:
         return GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
-    cand, temp, gc, length2 = chunked_batch(
-        lambda *a: _two_batch(
-            index.refstr_padded, index.rlp, index.lr_tar,
-            *(jnp.asarray(x) for x in a), index.offs0, mrs, mgs),
-        [css_all.astype(np.int32), fes_all.astype(np.int32)])
+    cand, temp, gc, length2 = engine.two(css_all.astype(np.int32),
+                                          fes_all.astype(np.int32))
+    cand = cand.astype(bool)
+    gc = gc.astype(bool)
     # sorted (oneId, c-token) -> twoId table; distinct patterns are unique pairs
     ctok = np.asarray(queries.tokens)[search2.gap2].astype(np.int64)
     keys = (search2.blockid.astype(np.int64) << 32) | ctok

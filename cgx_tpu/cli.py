@@ -32,8 +32,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the run into DIR")
     p.add_argument("--sa-shards", type=int, default=0, metavar="N",
-                   help="sharded-SA mode: split the rank-indexed index arrays "
-                        "across N devices (corpora beyond one chip's HBM)")
+                   help="sharded-index mode: split every O(corpus) device "
+                        "array across N devices (corpora beyond one chip's "
+                        "HBM)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address "
+                        "(process 0 hosts it); shards the query file across "
+                        "processes")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's id (0-based)")
     p.add_argument("reffile")
     p.add_argument("qryfile")
     p.add_argument("reftargetfile")
@@ -69,7 +78,23 @@ def main(argv=None) -> int:
         import jax
         jax.profiler.start_trace(args.profile)
     res = None
-    if args.engine == "oracle":
+    if args.coordinator is not None:
+        from cgx_tpu.parallel import multihost
+        from cgx_tpu.preproc import corpus as cp
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
+        with open(args.reffile, encoding="utf-8") as fh:
+            f_text = fh.read()
+        with open(args.reftargetfile, encoding="utf-8") as fh:
+            e_text = fh.read()
+        lo, hi, res, total = multihost.run_multihost(
+            f_text, e_text, cp.read_lines(args.alignfile),
+            cp.read_tokens(args.lexfile), cp.read_lines(args.qryfile),
+            args.dest_dir, cfg, index_dir=args.index_dir,
+            sa_shards=args.sa_shards)
+        print(f"multihost: process {args.process_id}: queries [{lo}, {hi}) "
+              f"done; {total} grammar lines globally", file=sys.stderr)
+    elif args.engine == "oracle":
         from cgx_tpu.oracle.pipeline import run_oracle_files
         run_oracle_files(args.reffile, args.qryfile, args.reftargetfile,
                          args.alignfile, args.lexfile, args.dest_dir, cfg)

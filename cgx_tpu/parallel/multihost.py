@@ -1,21 +1,30 @@
 """Multi-host execution: query sharding across processes.
 
-The reference has no distribution (SURVEY.md section 2.3); here each host runs the
-full pipeline on its own contiguous slice of the query file against a replicated
-corpus index, the natural layout for per-query grammar-file output:
+The reference has no distribution (SURVEY.md section 2.3); here each host runs
+the full pipeline on its own contiguous slice of the query file against a
+replicated corpus index, the natural layout for per-query grammar-file output:
 
-* coordination via ``jax.distributed.initialize`` (ICI within a slice, DCN across);
-* the corpus index artifact is built once (host 0) and shared via the persisted
-  artifact directory (``--index-dir`` on a common filesystem), so other hosts load
-  instead of rebuilding;
-* queries are split round-robin-free (contiguous blocks keep per-host file ranges
+* coordination via ``jax.distributed.initialize`` (ICI within a slice, DCN
+  across) — wired to the CLI flags ``--coordinator/--num-processes/
+  --process-id``, and exercised by a REAL 2-process run in
+  tests/test_multihost.py;
+* the corpus index artifact is built once (process 0) and shared via the
+  persisted artifact directory (``--index-dir`` on a common filesystem);
+  other processes wait for the artifact and load instead of rebuilding;
+* queries are split into contiguous blocks (keeps per-host output file ranges
   contiguous); each host writes only its own ``grammar.<i>.{s,n}`` files;
-* global throughput statistics reduce with ``multihost_utils.process_allgather``.
+* global rule/line counts reduce with ``multihost_utils.process_allgather``.
 
-Single-process fallback: with one process this degenerates to the plain pipeline.
+Single-process fallback: with one process this degenerates to the plain
+pipeline.  Composing multi-host query-DP with the sharded-index engine
+(parallel.sharded) is future work: the owner-computes dispatch currently
+assumes all index shards are addressable from one process.
 """
 
 from __future__ import annotations
+
+import os
+import time
 
 import jax
 import numpy as np
@@ -42,24 +51,43 @@ def query_slice(n_queries: int, process_id: int = None,
     return lo, hi
 
 
+def _wait_for_artifact(index_dir: str, timeout_s: float = 600.0):
+    """Non-zero processes block until process 0 has persisted the artifact
+    (meta.json is written last, so its presence implies a complete artifact)."""
+    deadline = time.monotonic() + timeout_s
+    meta = os.path.join(index_dir, "meta.json")
+    while not os.path.exists(meta):
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"index artifact never appeared at {index_dir}")
+        time.sleep(0.2)
+
+
 def run_multihost(f_lines, e_lines, a_lines, lex_tokens, q_lines, dest_dir,
-                  cfg, index_dir=None):
+                  cfg, index_dir=None, sa_shards: int = 0):
     """Run the pipeline on this host's query shard; writes this host's grammar
-    files with their global query indices.  Returns (lo, hi, PipelineResult)."""
-    import os
-
+    files with their global query indices.  Returns (lo, hi, PipelineResult,
+    global_line_count)."""
     from cgx_tpu import pipeline as tpl
-    from cgx_tpu.grammar import writer as gw
 
+    if index_dir and jax.process_index() != 0:
+        _wait_for_artifact(index_dir)
     n = len(q_lines)
     lo, hi = query_slice(n)
     res = tpl.run_pipeline(f_lines, e_lines, a_lines, lex_tokens,
-                           q_lines[lo:hi], cfg, index_dir=index_dir)
+                           q_lines[lo:hi], cfg, index_dir=index_dir,
+                           sa_shards=sa_shards)
     os.makedirs(dest_dir, exist_ok=True)
     suffix = "s" if cfg.is_sample else "n"
     for q_local, lines in enumerate(res.per_query_lines):
         path = os.path.join(dest_dir, f"grammar.{lo + q_local}.{suffix}")
         with open(path, "w", encoding="utf-8") as fh:
-            for line in lines:
-                fh.write(line + "\n")
-    return lo, hi, res
+            fh.write("\n".join(lines))
+            if lines:
+                fh.write("\n")
+    total_lines = res.counters["total_lines"]
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        all_counts = multihost_utils.process_allgather(
+            np.asarray([total_lines], np.int64))
+        total_lines = int(np.sum(all_counts))
+    return lo, hi, res, total_lines

@@ -196,6 +196,7 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
         ]
     counters = dict(
         blocks=G, distinct_onegap=D1, distinct_twogap=D2,
+        pass1_tokens=queries.totaltokens, pass2_items=len(p2.up),
         onegap_sa=len(onegap_sa.position), twogap_sa=len(twogap_sa.position),
         contig_pairs=len(contig.blocknumber),
         onegap_rules=len(rules1.gappy_index),

@@ -1,5 +1,7 @@
-"""Phase wall-clock ledger, the TPU equivalent of timing_t (ComTypes.h:80-91) and
-recordTime (Start.cu:392-469): same bucket concept, surfaced as a dict + report."""
+"""Phase wall-clock + device-memory ledger, the TPU equivalent of timing_t
+(ComTypes.h:80-91), recordTime (Start.cu:392-469) and the reference's pervasive
+cudaMemGetInfo tracing (SuffixArray.cu:776-777, Start.cu:471-486): same bucket
+concept, surfaced as a dict + report, with per-phase HBM high-water marks."""
 
 from __future__ import annotations
 
@@ -7,9 +9,28 @@ import contextlib
 import time
 
 
+def device_memory_bytes() -> int:
+    """Bytes currently allocated on the default device, or -1 when the backend
+    exposes no memory stats (CPU)."""
+    try:
+        import jax
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            return int(stats.get("bytes_in_use", -1))
+    except Exception:
+        pass
+    return -1
+
+
 class PhaseTimer:
-    def __init__(self):
+    """``phase(name)`` accumulates wall time per bucket and records the HBM
+    ``bytes_in_use`` after each phase (the reference logged free memory around
+    every kernel; here it is one ledger surfaced with the timings)."""
+
+    def __init__(self, track_memory: bool = True):
         self.buckets: dict = {}
+        self.mem_after: dict = {}
+        self.track_memory = track_memory
 
     @contextlib.contextmanager
     def phase(self, name: str):
@@ -19,12 +40,28 @@ class PhaseTimer:
         finally:
             self.buckets[name] = self.buckets.get(name, 0.0) + (
                 time.perf_counter() - t0)
+            if self.track_memory:
+                m = device_memory_bytes()
+                if m >= 0:
+                    self.mem_after[name] = m
+
+    def peak_memory(self) -> int:
+        return max(self.mem_after.values(), default=-1)
 
     def report(self) -> str:
         total = sum(self.buckets.values())
         parts = [f"total: {total:.3f}s"]
         parts += [f"{k}: {v:.3f}s" for k, v in self.buckets.items()]
+        if self.mem_after:
+            peak = self.peak_memory()
+            parts.append(f"hbm_peak: {peak / 1e6:.1f}MB")
         return " , ".join(parts)
+
+    def memory_report(self) -> str:
+        if not self.mem_after:
+            return "hbm: n/a (backend exposes no memory stats)"
+        return " , ".join(f"{k}: {v / 1e6:.1f}MB"
+                          for k, v in self.mem_after.items())
 
     def as_dict(self) -> dict:
         return dict(self.buckets)

@@ -1,0 +1,68 @@
+"""REAL multi-host execution: two actual OS processes coordinated through
+``jax.distributed`` (CPU backend), sharing one persisted index artifact, each
+writing its contiguous query shard's grammar files — byte-compared against a
+single-process run (SURVEY.md section 2.3 comm-backend row)."""
+
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).parent.parent
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_real_processes_byte_identical(toy_fixture, tmp_path):
+    port = _free_port()
+    idx_dir = str(tmp_path / "index")
+    out_mh = str(tmp_path / "out_mh")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("JAX_NUM_PROCESSES", None)
+    f = str(toy_fixture)
+    args = [f + "/corpus.f", f + "/query.f", f + "/corpus.e",
+            f + "/corpus.a", f + "/lex.txt"]
+
+    procs = []
+    for pid in range(2):
+        cmd = [sys.executable, "-m", "cgx_tpu.cli",
+               "--coordinator", f"127.0.0.1:{port}",
+               "--num-processes", "2", "--process-id", str(pid),
+               "--index-dir", idx_dir] + args + [out_mh]
+        procs.append(subprocess.Popen(cmd, cwd=str(REPO), env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    # single-process reference (same artifact directory: load path exercised)
+    out_ref = str(tmp_path / "out_ref")
+    cmd = [sys.executable, "-m", "cgx_tpu.cli", "--index-dir", idx_dir] + \
+        args + [out_ref]
+    r = subprocess.run(cmd, cwd=str(REPO), env=env, capture_output=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    ref_files = sorted(os.listdir(out_ref))
+    mh_files = sorted(os.listdir(out_mh))
+    assert ref_files == mh_files and len(ref_files) > 0
+    for name in ref_files:
+        with open(os.path.join(out_ref, name), "rb") as fh:
+            a = fh.read()
+        with open(os.path.join(out_mh, name), "rb") as fh:
+            b = fh.read()
+        assert a == b, f"grammar file {name} differs between multihost and "\
+            "single-process runs"

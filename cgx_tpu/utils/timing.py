@@ -10,13 +10,20 @@ import time
 
 
 def device_memory_bytes() -> int:
-    """Bytes currently allocated on the default device, or -1 when the backend
-    exposes no memory stats (CPU)."""
+    """Bytes currently allocated on the default device: allocator stats when
+    the backend exposes them, else the sum of live jax.Array footprints (the
+    axon-relay TPU backend returns no memory_stats; live-array bytes give the
+    same ledger minus allocator fragmentation).  -1 when nothing is known."""
     try:
         import jax
         stats = jax.local_devices()[0].memory_stats()
-        if stats:
-            return int(stats.get("bytes_in_use", -1))
+        if stats and "bytes_in_use" in stats:
+            return int(stats["bytes_in_use"])
+        dev_kinds = {d.platform for d in jax.local_devices()}
+        if "cpu" in dev_kinds and len(dev_kinds) == 1:
+            return -1          # host backend: device accounting is meaningless
+        return int(sum(x.nbytes for x in jax.live_arrays()
+                       if not getattr(x, "is_deleted", lambda: False)()))
     except Exception:
         pass
     return -1

@@ -1,0 +1,116 @@
+"""Measure: random window gathers from a corpus-sized array — XLA gather vs a
+Pallas kernel with the corpus pinned in VMEM (VERDICT round-1 item 5: settle
+the Pallas question with data).
+
+The gappy-lookup and extraction kernels read (MMOV+2)-wide windows of
+refstr/rlp at data-dependent corpus positions; this probe isolates exactly that
+access pattern.
+
+Run on the chip:  python tools/pallas_probe.py [--n 131072] [--corpus 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+W = 32        # window width per item (rounded up from MMOV+2 for tiling)
+BLK = 512     # items per Pallas grid step
+
+
+@jax.jit
+def xla_gather(ref, pos):
+    win = ref[pos[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]]
+    return jnp.sum(win, dtype=jnp.int32)
+
+
+def pallas_gather_fn(n_items, corpus_len):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows_total = corpus_len // 128
+    grid = n_items // BLK
+    lane_iota = None
+
+    def kernel(pos_sref, ref_ref, out_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        base = pl.program_id(0) * BLK
+        g = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0) * 128 + \
+            jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+
+        def body(i, acc):
+            p = pos_sref[base + i]
+            row = p // 128
+            col = p - row * 128
+            rows = ref_ref[pl.ds(row, 2), :]
+            m = (g >= col) & (g < col + W)
+            return acc + jnp.sum(jnp.where(m, rows, 0), dtype=jnp.int32)
+
+        acc = jax.lax.fori_loop(0, BLK, body, jnp.int32(0))
+        out_ref[0:1, 0:1] += jnp.full((1, 1), acc, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((rows_total, 128), lambda i, pos: (0, 0))],
+        out_specs=pl.BlockSpec((8, 128), lambda i, pos: (0, 0)),
+    )
+
+    @jax.jit
+    def run(ref, pos):
+        ref2d = ref[: rows_total * 128].reshape(rows_total, 128)
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        )(pos, ref2d)
+        return jnp.sum(out)
+    return run
+
+
+def timeit(fn, *args, reps=10):
+    fn(*args).block_until_ready()          # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = fn(*args)
+    r.block_until_ready()
+    return (time.perf_counter() - t0) / reps, r
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=131072)
+    ap.add_argument("--corpus", type=int, default=1000000)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.integers(2, 1000, size=args.corpus).astype(np.int32))
+    pos = jnp.asarray(rng.integers(0, args.corpus - W,
+                                   size=args.n).astype(np.int32))
+
+    t_x, r_x = timeit(xla_gather, ref, pos, reps=args.reps)
+    print(f"xla_gather:    {t_x * 1e3:8.3f} ms  ({args.n} x {W} windows, "
+          f"checksum {int(r_x)})")
+
+    try:
+        run = pallas_gather_fn(args.n, args.corpus)
+        t_p, r_p = timeit(run, ref, pos, reps=args.reps)
+        print(f"pallas_vmem:   {t_p * 1e3:8.3f} ms  (checksum {int(r_p)})")
+        assert int(r_p) == int(r_x), "checksum mismatch"
+        print(f"speedup: {t_x / t_p:.2f}x")
+    except Exception as e:
+        print(f"pallas path failed: {type(e).__name__}: {e}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

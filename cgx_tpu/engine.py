@@ -19,11 +19,38 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from cgx_tpu.utils.batching import chunked_batch
+from cgx_tpu.utils.batching import chunked_batch, chunked_indices
+
+
+def _offsets(counts) -> np.ndarray:
+    """Exclusive prefix [D+1] of per-pattern item counts."""
+    return np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+
+def expand_hits(hit_idx, counts, ids=None):
+    """Map flat item indices back to (pattern, tx) using the count prefix.
+    ``ids`` optionally maps local pattern index -> caller pattern id."""
+    cum = np.cumsum(counts)
+    pi = np.searchsorted(cum, hit_idx, side="right")
+    tx = hit_idx - (cum[pi] - counts[pi])
+    pat = ids[pi] if ids is not None else pi
+    return pat, tx, pi
+
+
+def _pad1(a) -> np.ndarray:
+    """Length >= 1 (clip-safe device gathers on possibly-empty tables)."""
+    a = np.asarray(a, np.int32)
+    return a if len(a) else np.zeros(1, np.int32)
 
 
 class ReplicatedEngine:
-    """Single-device dispatch against a fully-resident GrammarIndex."""
+    """Single-device dispatch against a fully-resident GrammarIndex.
+
+    The lookup stages use the ``*_expanded`` entry points: per-pattern arrays
+    upload, the multi-million-item work list materializes ON DEVICE (indices
+    generated per chunk, occurrence data read from the resident SA/precomp
+    tables), and only packed hit masks come back — H2D and D2H both drop from
+    O(items * fields) to O(patterns) + O(items/8)."""
 
     def __init__(self, index, sa_host: np.ndarray, cfg):
         self.index = index
@@ -32,6 +59,52 @@ class ReplicatedEngine:
 
     def sa_values(self, rows) -> np.ndarray:
         return self.sa_host[np.asarray(rows, np.int64)].astype(np.int32)
+
+    def pcs_expanded(self, queries, pc, base, counts, sl, el, tok, stok):
+        from cgx_tpu.search.lookup import _pcs_batch_exp
+        ix, cfg = self.index, self.cfg
+        offs = _offsets(counts)
+        N = int(offs[-1])
+        pcsd = (jnp.asarray(_pad1(pc.onegap_start)),
+                jnp.asarray(_pad1(pc.onegap_length)))
+        pp = tuple(jnp.asarray(np.asarray(a, np.int64).astype(np.int32))
+                   for a in (base, offs, sl, el, tok, stok))
+        qt = ix.device_query_tokens(queries)
+        return chunked_indices(
+            lambda s, n: _pcs_batch_exp(ix.refstr_padded, qt, *pcsd, *pp,
+                                        jnp.int32(s), ix.offs0,
+                                        cfg.max_rule_span, n), N)
+
+    def scan_expanded(self, queries, fwd, lo, counts, sl, el, side):
+        from cgx_tpu.search.lookup import _scan_batch_exp
+        ix, cfg = self.index, self.cfg
+        offs = _offsets(counts)
+        N = int(offs[-1])
+        pp = tuple(jnp.asarray(np.asarray(a, np.int64).astype(np.int32))
+                   for a in (lo, offs, sl, el, side))
+        qt = ix.device_query_tokens(queries)
+        return chunked_indices(
+            lambda s, n: _scan_batch_exp(ix.refstr_padded, ix.sa, ix.rlp,
+                                         ix.lr_tar, qt, *pp, jnp.int32(s),
+                                         ix.offs0, cfg.max_rule_span,
+                                         cfg.min_gap_size, fwd, n), N)
+
+    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode):
+        from cgx_tpu.search.lookup import _two_batch_exp
+        ix, cfg = self.index, self.cfg
+        offs = _offsets(counts)
+        N = int(offs[-1])
+        tabs = tuple(jnp.asarray(_pad1(a)) for a in (
+            onegap_sa.str_position, onegap_sa.length,
+            pc.onegap_start, pc.onegap_length))
+        pp = (jnp.asarray(np.asarray(lo, np.int64).astype(np.int32)),
+              jnp.asarray(offs.astype(np.int32)),
+              jnp.asarray(np.asarray(pcmode, bool)))
+        return chunked_indices(
+            lambda s, n: _two_batch_exp(ix.refstr_padded, ix.rlp, ix.lr_tar,
+                                        *tabs, *pp, jnp.int32(s), ix.offs0,
+                                        cfg.max_rule_span, cfg.min_gap_size,
+                                        n), N)
 
     def fwd(self, queries, gostart, sl, el, stok):
         from cgx_tpu.search.lookup import _fwd_batch

@@ -430,6 +430,54 @@ class ShardedEngine:
                     for sh in out_shapes]
         return outs
 
+    # -- expanded entry points: ownership needs per-item positions anyway, so
+    #    materialize the item list on the host and reuse the partitioned paths
+    @staticmethod
+    def _materialize(counts):
+        counts = np.asarray(counts, np.int64)
+        item_pat = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        cum = np.cumsum(counts)
+        tx = np.arange(len(item_pat), dtype=np.int64) \
+            - np.repeat(cum - counts, counts)
+        return item_pat, tx
+
+    def pcs_expanded(self, queries, pc, base, counts, sl, el, tok, stok):
+        item_pat, tx = self._materialize(counts)
+        row = np.asarray(base, np.int64)[item_pat] + tx
+        return self.pcs(
+            queries, pc.onegap_start[row], pc.onegap_length[row],
+            np.asarray(sl, np.int64)[item_pat].astype(np.int32),
+            np.asarray(el, np.int64)[item_pat].astype(np.int32),
+            np.asarray(tok, np.int64)[item_pat].astype(np.int32),
+            np.asarray(stok, np.int64)[item_pat].astype(np.int32))
+
+    def scan_expanded(self, queries, fwd, lo, counts, sl, el, side):
+        item_pat, tx = self._materialize(counts)
+        gostart = self.sa_values(np.asarray(lo, np.int64)[item_pat] + tx)
+        m = self.fwd if fwd else self.bwd
+        return m(queries, gostart,
+                 np.asarray(sl, np.int64)[item_pat].astype(np.int32),
+                 np.asarray(el, np.int64)[item_pat].astype(np.int32),
+                 np.asarray(side, np.int64)[item_pat].astype(np.int32))
+
+    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode):
+        item_pat, tx = self._materialize(counts)
+        row = np.asarray(lo, np.int64)[item_pat] + tx
+        pcm = np.asarray(pcmode, bool)[item_pat]
+        og_sp = onegap_sa.str_position if len(onegap_sa.str_position) \
+            else np.zeros(1, np.int32)
+        og_len = onegap_sa.length if len(onegap_sa.length) \
+            else np.zeros(1, np.int32)
+        pc_sp = pc.onegap_start if len(pc.onegap_start) \
+            else np.zeros(1, np.int32)
+        pc_len = pc.onegap_length if len(pc.onegap_length) \
+            else np.zeros(1, np.int32)
+        row_sa = np.clip(row, 0, len(og_sp) - 1)
+        row_pc = np.clip(row, 0, len(pc_sp) - 1)
+        css = np.where(pcm, pc_sp[row_pc], og_sp[row_sa])
+        fes = np.where(pcm, pc_len[row_pc], og_len[row_sa])
+        return self.two(css.astype(np.int32), fes.astype(np.int32))
+
     # -- lookup kernels ----------------------------------------------------
     def fwd(self, queries, gostart, sl, el, stok):
         from cgx_tpu.search.lookup import _fwd_batch
@@ -444,7 +492,7 @@ class ShardedEngine:
                                       cfg.max_rule_span, cfg.min_gap_size),
                 [g, a, b, c])
         return self._partitioned(gostart, [gostart, sl, el, stok], run_one,
-                                 [(MMOV,), (MMOV,)])
+                                 [()])
 
     def bwd(self, queries, gostart, sl, el, tok):
         from cgx_tpu.search.lookup import _bwd_batch
@@ -459,7 +507,7 @@ class ShardedEngine:
                                       cfg.max_rule_span, cfg.min_gap_size),
                 [g, a, b, c])
         return self._partitioned(gostart, [gostart, sl, el, tok], run_one,
-                                 [(MMOV,), (MMOV,), (MMOV,)])
+                                 [()])
 
     def pcs(self, queries, pstart, plen, sl, el, tok, stok):
         from cgx_tpu.search.lookup import _pcs_batch
@@ -473,7 +521,7 @@ class ShardedEngine:
                                       offs, cfg.max_rule_span),
                 list(its))
         return self._partitioned(pstart, [pstart, plen, sl, el, tok, stok],
-                                 run_one, [(), (), ()])
+                                 run_one, [()])
 
     def two(self, pstart, plen):
         from cgx_tpu.search.lookup import _two_batch
@@ -487,7 +535,7 @@ class ShardedEngine:
                                       cfg.max_rule_span, cfg.min_gap_size),
                 [p, q])
         return self._partitioned(pstart, [pstart, plen], run_one,
-                                 [(MMOV,), (MMOV,), (MMOV,), (MMOV,)])
+                                 [(), ()])
 
     # -- extraction kernels ------------------------------------------------
     def contig(self, sa_pos, lm):

@@ -144,7 +144,9 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     with t.phase("lookup2"):
         twogap_sa = lookup.two_gap_lookup_tpu(index, queries, search1,
                                               onegap_sa, search2, pc, cfg,
-                                              engine=engine)
+                                              engine=engine,
+                                              refstr_host=np.asarray(
+                                                  source.str_))
         check_capacity("twogap_sa", len(twogap_sa.position), cfg.cap_twogap_sa)
 
     with t.phase("extractin"):

@@ -23,6 +23,7 @@ import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.types import GapOnSA, OneGapSearch, Precomp, TwoGapSearch
+from cgx_tpu.engine import expand_hits
 from cgx_tpu.utils.batching import chunked_batch, pad_items
 from cgx_tpu.utils.views import make_views
 
@@ -74,8 +75,10 @@ def _fwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
     cand = reach & ~bad & is_b & verify_ok
     gc = _gap_check_grow(rlp, lr_tar, gostart + sl, mgs - 1, mrs, True)
     valid = cand & gc
-    length = sl + mgs + moves + el - 1
-    return valid, length
+    # one packed bitmask per item: emission fields (length) are pure functions
+    # of (item, move) and are recomputed on the host — D2H through the relay
+    # shrinks from (1+4)*MMOV to 4 bytes per item
+    return (jnp.sum(jnp.where(valid, jnp.int32(1) << moves, 0)),)
 
 
 def _bwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
@@ -111,9 +114,8 @@ def _bwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
     cand = reach & ~bad & is_a & verify_ok
     gc = _gap_check_grow(rlp, lr_tar, gostart - 1, mgs - 1, mrs, False)
     valid = cand & gc
-    str_position = gostart - 1 - mgs - moves - sl + 1
-    length = el + mgs + moves + sl - 1
-    return valid, str_position, length
+    # packed bitmask; str_position/length recomputed host-side (see _fwd_item)
+    return (jnp.sum(jnp.where(valid, jnp.int32(1) << moves, 0)),)
 
 
 def _pcs_item(refstr, qtokens, mrs, pstart, plen, sl, el, tok, stok):
@@ -133,7 +135,7 @@ def _pcs_item(refstr, qtokens, mrs, pstart, plen, sl, el, tok, stok):
         need = el >= k
         good = refstr[pstart + plen + k - 1] == qtokens[stok + k - 1]
         ok = ok & jnp.where(need, good, True)
-    return ok, pstart - sl + 1, plen + sl - 1 + el - 1
+    return (ok,)   # str_position/length are host-derivable from the item
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
@@ -157,6 +159,64 @@ def _pcs_batch(refstr, qtokens, pstart, plen, sl, el, tok, stok, offs, mrs):
     refstr, _, _ = make_views(refstr, refstr, refstr, offs)
     f = functools.partial(_pcs_item, refstr, qtokens, mrs)
     return jax.vmap(f)(pstart, plen, sl, el, tok, stok)
+
+
+# ---------------------------------------------------------------------------
+# expanded-dispatch kernels: the multi-million-item work lists of the lookup
+# stage are never uploaded — each device program derives (pattern, tx) for its
+# item range from per-pattern prefix tables (tiny) and reads occurrence data
+# from device-resident SA / precomp row tables.  H2D per dispatch: O(patterns).
+# ---------------------------------------------------------------------------
+
+def _expand(offs_d, g, D):
+    """item index -> (pattern, tx) via the exclusive count prefix offs_d[D+1];
+    padding items (g >= offs_d[-1]) clamp to the last pattern."""
+    pat = jnp.clip(jnp.searchsorted(offs_d, g, side="right") - 1, 0, D - 1)
+    tx = g - offs_d[pat]
+    return pat, tx
+
+
+@functools.partial(jax.jit, static_argnames=("mrs", "n"))
+def _pcs_batch_exp(refstr, qtokens, pc_start, pc_len, base_d, offs_d, sl_d,
+                   el_d, tok_d, stok_d, start, offs, mrs, n):
+    refstr, _, _ = make_views(refstr, refstr, refstr, offs)
+    g = start + jnp.arange(n, dtype=jnp.int32)
+    pat, tx = _expand(offs_d, g, sl_d.shape[0])
+    row = jnp.clip(base_d[pat] + tx, 0, pc_start.shape[0] - 1)
+    f = functools.partial(_pcs_item, refstr, qtokens, mrs)
+    return jax.vmap(f)(pc_start[row], pc_len[row], sl_d[pat], el_d[pat],
+                       tok_d[pat], stok_d[pat])
+
+
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd", "n"))
+def _scan_batch_exp(refstr, refsa, rlp, lr_tar, qtokens, lo_d, offs_d, sl_d,
+                    el_d, side_d, start, offs, mrs, mgs, fwd, n):
+    """Expanded forward/backward scans; ``side_d`` is stok (fwd) or tok (bwd)."""
+    refstr_v, rlp_v, lrt_v = make_views(refstr, rlp, lr_tar, offs)
+    g = start + jnp.arange(n, dtype=jnp.int32)
+    pat, tx = _expand(offs_d, g, sl_d.shape[0])
+    gostart = refsa[jnp.clip(lo_d[pat] + tx, 0, refsa.shape[0] - 1)]
+    item = _fwd_item if fwd else _bwd_item
+    f = functools.partial(item, refstr_v, rlp_v, lrt_v, qtokens, mrs, mgs)
+    return jax.vmap(f)(gostart, sl_d[pat], el_d[pat], side_d[pat])
+
+
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "n"))
+def _two_batch_exp(refstr, rlp, lr_tar, og_sp, og_len, pc_start, pc_len,
+                   lo_d, offs_d, pcmode_d, start, offs, mrs, mgs, n):
+    """Expanded 2-gap core scan: occurrence (css, fes) resolved on device from
+    the onegap-SA row tables or (pcmode) the precomp row tables."""
+    refstr_v, rlp_v, lrt_v = make_views(refstr, rlp, lr_tar, offs)
+    g = start + jnp.arange(n, dtype=jnp.int32)
+    pat, tx = _expand(offs_d, g, lo_d.shape[0])
+    row = lo_d[pat] + tx
+    pcm = pcmode_d[pat]
+    row_sa = jnp.clip(row, 0, og_sp.shape[0] - 1)
+    row_pc = jnp.clip(row, 0, pc_start.shape[0] - 1)
+    css = jnp.where(pcm, pc_start[row_pc], og_sp[row_sa])
+    fes = jnp.where(pcm, pc_len[row_pc], og_len[row_sa])
+    f = functools.partial(_two_item, refstr_v, rlp_v, lrt_v, mrs, mgs)
+    return jax.vmap(f)(css, fes)
 
 
 def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
@@ -222,21 +282,18 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
     seed_ids = np.flatnonzero(pc_seed)
     if len(seed_ids):
         counts = (pc_dis[seed_ids] + 1).clip(min=0)
-        item_pat = np.repeat(seed_ids, counts)
-        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        tx = np.arange(len(item_pat)) - np.repeat(offs, counts)
-        row = pc.index_start[pci[item_pat]] + tx
-        ok, spos, length = engine.pcs(
-            queries, pc.onegap_start[row], pc.onegap_length[row],
-            sl_all[item_pat].astype(np.int32),
-            el_all[item_pat].astype(np.int32),
-            tok_all[item_pat].astype(np.int32),
-            stok_all[item_pat].astype(np.int32))
-        ok = ok.astype(bool)
-        if ok.any():
-            rows_parts.append(np.stack([
-                item_pat[ok], spos[ok].astype(np.int64),
-                length[ok].astype(np.int64)], axis=1))
+        (ok,) = engine.pcs_expanded(
+            queries, pc, pc.index_start[pci[seed_ids]].astype(np.int64),
+            counts, sl_all[seed_ids], el_all[seed_ids], tok_all[seed_ids],
+            stok_all[seed_ids])
+        hit = np.flatnonzero(np.asarray(ok, bool))
+        if len(hit):
+            pat, tx, _ = expand_hits(hit, counts, seed_ids)
+            row = pc.index_start[pci[pat]] + tx
+            spos = pc.onegap_start[row].astype(np.int64) - sl_all[pat] + 1
+            length = pc.onegap_length[row].astype(np.int64) \
+                + sl_all[pat] - 1 + el_all[pat] - 1
+            rows_parts.append(np.stack([pat, spos, length], axis=1))
 
     # 3) forward / backward scans
     for fwd in (True, False):
@@ -245,30 +302,22 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
             continue
         lo = np.where(fwd, r1u, r2u)[ids]
         counts = (np.where(fwd, dis1, dis2)[ids] + 1).clip(min=0)
-        item_pat = np.repeat(ids, counts)
-        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        tx = np.arange(len(item_pat)) - np.repeat(offs, counts)
-        gostart = engine.sa_values(np.repeat(lo, counts) + tx)
+        side = (stok_all if fwd else tok_all)[ids]
+        (mask,) = engine.scan_expanded(queries, fwd, lo, counts,
+                                       sl_all[ids], el_all[ids], side)
+        ii, mm = np.nonzero(
+            (mask[:, None].astype(np.int64) >> np.arange(MMOV)) & 1)
+        if not len(ii):
+            continue
+        pat, tx, pi = expand_hits(ii, counts, ids)
+        gostart = engine.sa_values(lo[pi] + tx).astype(np.int64)
         if fwd:
-            valid, length = engine.fwd(
-                queries, gostart, sl_all[item_pat].astype(np.int32),
-                el_all[item_pat].astype(np.int32),
-                stok_all[item_pat].astype(np.int32))
-            ii, mm = np.nonzero(valid)
-            if len(ii):
-                rows_parts.append(np.stack([
-                    item_pat[ii], gostart[ii].astype(np.int64),
-                    length[ii, mm].astype(np.int64)], axis=1))
+            length = sl_all[pat] + mgs + mm + el_all[pat] - 1
+            rows_parts.append(np.stack([pat, gostart, length], axis=1))
         else:
-            valid, spos, length = engine.bwd(
-                queries, gostart, sl_all[item_pat].astype(np.int32),
-                el_all[item_pat].astype(np.int32),
-                tok_all[item_pat].astype(np.int32))
-            ii, mm = np.nonzero(valid)
-            if len(ii):
-                rows_parts.append(np.stack([
-                    item_pat[ii], spos[ii, mm].astype(np.int64),
-                    length[ii, mm].astype(np.int64)], axis=1))
+            spos = gostart - 1 - mgs - mm - sl_all[pat] + 1
+            length = el_all[pat] + mgs + mm + sl_all[pat] - 1
+            rows_parts.append(np.stack([pat, spos, length], axis=1))
 
     if rows_parts:
         rows = np.concatenate(rows_parts, axis=0)
@@ -312,8 +361,10 @@ def _two_item(refstr, rlp, lr_tar, mrs, mgs, pstart, plen):
     cand = reach & ~span_kill & ~bad
     gc = _gap_check_grow(rlp, lr_tar, pstart + plen + 1, mgs - 1, mrs,
                          True)
-    length2 = plen + 1 + mgs + moves  # + el - 1 with el == 1
-    return cand, temp, gc, length2
+    # two packed bitmasks; the scanned c-token and length2 are recomputed on
+    # the host (temp = corpus[pos] at cand hits, pos a pure item function)
+    return (jnp.sum(jnp.where(cand, jnp.int32(1) << moves, 0)),
+            jnp.sum(jnp.where(gc, jnp.int32(1) << moves, 0)))
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
@@ -326,11 +377,16 @@ def _two_batch(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs):
 def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
                        onegap_sa: GapOnSA, search2: TwoGapSearch,
                        pc: Precomp, cfg: ExtractorConfig,
-                       engine=None) -> GapOnSA:
+                       engine=None, refstr_host: np.ndarray = None) -> GapOnSA:
+    """``refstr_host``: host copy of the source token string, used to resolve
+    the scanned c-token at hit positions (the device returns only bitmasks).
+    Defaults to fetching from the device index once (test convenience)."""
     from cgx_tpu.extract.device import _onegap_occurrences
     if engine is None:
         from cgx_tpu.engine import ReplicatedEngine
         engine = ReplicatedEngine(index, None, cfg)
+    if refstr_host is None:
+        refstr_host = np.asarray(index.refstr_padded)
     D2 = len(search2.blockid)
     mrs, mgs = cfg.max_rule_span, cfg.min_gap_size
     # Scan every distinct 1-gap pattern's cores ONCE (unsampled, precomp-expanded)
@@ -338,28 +394,61 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
     # host.  The reference re-scans the shared cores per 2-gap pattern
     # (GappyLook.cu:585-735); the emissions are identical with
     # ~|patterns-per-core|x less device work.
-    one_ids_all, css_all, fes_all = _onegap_occurrences(
-        search1, onegap_sa, pc, 0, False)
-    if len(one_ids_all) == 0 or D2 == 0:
+    # per-pattern occurrence tables (precomp-cell redirection as in
+    # _onegap_occurrences); the item list itself materializes on device
+    lo0 = search1.start_on_salist.astype(np.int64)
+    hi0 = search1.end_on_salist.astype(np.int64)
+    has = lo0 >= 0
+    loc = np.clip(lo0, 0, max(len(onegap_sa.length) - 1, 0))
+    if len(onegap_sa.length):
+        pcmode = has & (hi0 == lo0) & (onegap_sa.length[loc] == 0)
+        pci_t = onegap_sa.str_position[loc].astype(np.int64)
+    else:
+        pcmode = np.zeros_like(has)
+        pci_t = np.zeros_like(lo0)
+    pcic = np.clip(pci_t, 0, len(pc.index_start) - 1)
+    lo = np.where(pcmode, pc.index_start[pcic], lo0)
+    hi = np.where(pcmode, pc.index_end[pcic], hi0)
+    counts = np.where(has & (hi >= lo), hi - lo + 1, 0)
+    if D2 == 0 or counts.sum() == 0:
         return GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
-    cand, temp, gc, length2 = engine.two(css_all.astype(np.int32),
-                                          fes_all.astype(np.int32))
-    cand = cand.astype(bool)
-    gc = gc.astype(bool)
+    cand_mask, gc_mask = engine.two_expanded(onegap_sa, pc, lo, counts,
+                                             pcmode)
     # sorted (oneId, c-token) -> twoId table; distinct patterns are unique pairs
     ctok = np.asarray(queries.tokens)[search2.gap2].astype(np.int64)
     keys = (search2.blockid.astype(np.int64) << 32) | ctok
     korder = np.argsort(keys, kind="stable")
     keys_sorted = keys[korder]
-    ii, mm = np.nonzero(cand)
-    want = (one_ids_all[ii] << 32) | temp[ii, mm].astype(np.int64)
+    ii, mm = np.nonzero(
+        (cand_mask[:, None].astype(np.int64) >> np.arange(MMOV)) & 1)
+    if not len(ii):
+        return GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
+    # occurrence fields + scanned c-token recomputed host-side at hits only
+    pat, tx, _ = expand_hits(ii, counts)
+    row = lo[pat] + tx
+    pcm_i = pcmode[pat]
+    og_sp = onegap_sa.str_position if len(onegap_sa.str_position) \
+        else np.zeros(1, np.int32)
+    og_ln = onegap_sa.length if len(onegap_sa.length) \
+        else np.zeros(1, np.int32)
+    pc_sp = pc.onegap_start if len(pc.onegap_start) else np.zeros(1, np.int32)
+    pc_ln = pc.onegap_length if len(pc.onegap_length) \
+        else np.zeros(1, np.int32)
+    css = np.where(pcm_i, pc_sp[np.clip(row, 0, len(pc_sp) - 1)],
+                   og_sp[np.clip(row, 0, len(og_sp) - 1)]).astype(np.int64)
+    fes = np.where(pcm_i, pc_ln[np.clip(row, 0, len(pc_ln) - 1)],
+                   og_ln[np.clip(row, 0, len(og_ln) - 1)]).astype(np.int64)
+    pos = css + fes + 1 + mgs + mm
+    temp_hit = refstr_host[np.minimum(pos, len(refstr_host) - 1)]
+    want = (pat.astype(np.int64) << 32) | temp_hit.astype(np.int64)
     ki = np.searchsorted(keys_sorted, want)
     found = (ki < len(keys_sorted)) & \
         (keys_sorted[np.minimum(ki, len(keys_sorted) - 1)] == want)
-    hit = found & gc[ii, mm]
+    hit = found & (((gc_mask[ii].astype(np.int64) >> mm) & 1) == 1)
     two_id = korder[np.minimum(ki, len(korder) - 1)][hit]
-    rows = np.stack([two_id, css_all[ii][hit], fes_all[ii][hit],
-                     length2[ii, mm][hit].astype(np.int64)], axis=1)
+    length2 = fes + 1 + mgs + mm
+    rows = np.stack([two_id, css[hit], fes[hit],
+                     length2[hit].astype(np.int64)], axis=1)
     order = np.lexsort((rows[:, 3], rows[:, 2], rows[:, 1], rows[:, 0]))
     rows = rows[order]
     out = GapOnSA(position=rows[:, 0].astype(np.int32),

@@ -73,6 +73,29 @@ def chunk_plan(n: int, chunk: int = CHUNK):
     return sizes
 
 
+def chunked_indices(call, n_items: int, chunk: int = CHUNK):
+    """Like ``chunked_batch`` but with NO per-item host arrays at all: the
+    device program generates its own item indices.  ``call(start, n)`` must
+    run items ``start .. start+n`` (n is a static power of two; indices past
+    ``n_items`` are padding whose results are sliced off).  Used by the
+    expanded lookup kernels so multi-million-item work lists cost zero H2D
+    upload (the item fields are derived on device from per-pattern tables)."""
+    import jax
+
+    pending = []
+    s = 0
+    for ni in chunk_plan(n_items, chunk):
+        n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
+            else bucket_size(ni)
+        pending.append((call(s, n_call), ni))
+        s += ni
+    if not pending:
+        return None
+    parts = [[np.asarray(x)[:ni] for x in jax.device_get(res)]
+             for res, ni in pending]
+    return [np.concatenate(cols) for cols in zip(*parts)]
+
+
 def chunked_batch(call, arrays, chunk: int = CHUNK):
     """Run ``call(*padded_arrays) -> tuple/list of outputs with leading item axis``
     over pow2-sized chunks of the item axis; returns concatenated outputs sliced

@@ -21,6 +21,12 @@ import numpy as np
 
 from cgx_tpu.utils.batching import chunked_batch, chunked_indices
 
+# dispatch chunk sizes for the expanded lookup kernels: their per-item device
+# temps are tiny (scalars / one MMOV window), so much larger chunks than the
+# default amortize the relay round trip without HBM pressure
+PCS_CHUNK = 2_097_152
+SCAN_CHUNK = 524_288
+
 
 def _offsets(counts) -> np.ndarray:
     """Exclusive prefix [D+1] of per-pattern item counts."""
@@ -70,10 +76,15 @@ class ReplicatedEngine:
         pp = tuple(jnp.asarray(np.asarray(a, np.int64).astype(np.int32))
                    for a in (base, offs, sl, el, tok, stok))
         qt = ix.device_query_tokens(queries)
-        return chunked_indices(
+        packed = chunked_indices(
             lambda s, n: _pcs_batch_exp(ix.refstr_padded, qt, *pcsd, *pp,
                                         jnp.int32(s), ix.offs0,
-                                        cfg.max_rule_span, n), N)
+                                        cfg.max_rule_span, n), N,
+            chunk=PCS_CHUNK, item_div=32)
+        bits = np.asarray(packed[0], np.uint32)
+        ok = ((bits[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+              ).astype(bool).ravel()[:N]
+        return (ok,)
 
     def scan_expanded(self, queries, fwd, lo, counts, sl, el, side):
         from cgx_tpu.search.lookup import _scan_batch_exp
@@ -87,7 +98,8 @@ class ReplicatedEngine:
             lambda s, n: _scan_batch_exp(ix.refstr_padded, ix.sa, ix.rlp,
                                          ix.lr_tar, qt, *pp, jnp.int32(s),
                                          ix.offs0, cfg.max_rule_span,
-                                         cfg.min_gap_size, fwd, n), N)
+                                         cfg.min_gap_size, fwd, n), N,
+            chunk=SCAN_CHUNK)
 
     def two_expanded(self, onegap_sa, pc, lo, counts, pcmode):
         from cgx_tpu.search.lookup import _two_batch_exp
@@ -100,11 +112,14 @@ class ReplicatedEngine:
         pp = (jnp.asarray(np.asarray(lo, np.int64).astype(np.int32)),
               jnp.asarray(offs.astype(np.int32)),
               jnp.asarray(np.asarray(pcmode, bool)))
-        return chunked_indices(
+        (comb,) = chunked_indices(
             lambda s, n: _two_batch_exp(ix.refstr_padded, ix.rlp, ix.lr_tar,
                                         *tabs, *pp, jnp.int32(s), ix.offs0,
                                         cfg.max_rule_span, cfg.min_gap_size,
-                                        n), N)
+                                        n), N, chunk=SCAN_CHUNK)
+        comb = np.asarray(comb, np.uint32)
+        return (comb & 0xFFFF).astype(np.int64), \
+            ((comb >> 16) & 0xFFFF).astype(np.int64)
 
     def fwd(self, queries, gostart, sl, el, stok):
         from cgx_tpu.search.lookup import _fwd_batch

@@ -184,8 +184,12 @@ def _pcs_batch_exp(refstr, qtokens, pc_start, pc_len, base_d, offs_d, sl_d,
     pat, tx = _expand(offs_d, g, sl_d.shape[0])
     row = jnp.clip(base_d[pat] + tx, 0, pc_start.shape[0] - 1)
     f = functools.partial(_pcs_item, refstr, qtokens, mrs)
-    return jax.vmap(f)(pc_start[row], pc_len[row], sl_d[pat], el_d[pat],
-                       tok_d[pat], stok_d[pat])
+    (ok,) = jax.vmap(f)(pc_start[row], pc_len[row], sl_d[pat], el_d[pat],
+                        tok_d[pat], stok_d[pat])
+    # 32 items per word: the ok flags are the whole result, so D2H is n/32
+    bits = jnp.arange(32, dtype=jnp.uint32)
+    return (jnp.sum(ok.reshape(-1, 32).astype(jnp.uint32) << bits[None, :],
+                    axis=1, dtype=jnp.uint32),)
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd", "n"))
@@ -216,7 +220,9 @@ def _two_batch_exp(refstr, rlp, lr_tar, og_sp, og_len, pc_start, pc_len,
     css = jnp.where(pcm, pc_start[row_pc], og_sp[row_sa])
     fes = jnp.where(pcm, pc_len[row_pc], og_len[row_sa])
     f = functools.partial(_two_item, refstr_v, rlp_v, lrt_v, mrs, mgs)
-    return jax.vmap(f)(css, fes)
+    cand, gc = jax.vmap(f)(css, fes)
+    # one word per item: cand in the low 16 bits, gc in the high 16
+    return (cand.astype(jnp.uint32) | (gc.astype(jnp.uint32) << 16),)
 
 
 def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,

@@ -73,13 +73,18 @@ def chunk_plan(n: int, chunk: int = CHUNK):
     return sizes
 
 
-def chunked_indices(call, n_items: int, chunk: int = CHUNK):
+def chunked_indices(call, n_items: int, chunk: int = CHUNK,
+                    item_div: int = 1):
     """Like ``chunked_batch`` but with NO per-item host arrays at all: the
     device program generates its own item indices.  ``call(start, n)`` must
     run items ``start .. start+n`` (n is a static power of two; indices past
     ``n_items`` are padding whose results are sliced off).  Used by the
     expanded lookup kernels so multi-million-item work lists cost zero H2D
-    upload (the item fields are derived on device from per-pattern tables)."""
+    upload (the item fields are derived on device from per-pattern tables).
+
+    ``item_div``: outputs whose leading axis is n/item_div (bit-packed
+    results; only the final chunk may be a non-multiple, its tail padding
+    lives inside the last packed word and is sliced off by the caller)."""
     import jax
 
     pending = []
@@ -91,7 +96,8 @@ def chunked_indices(call, n_items: int, chunk: int = CHUNK):
         s += ni
     if not pending:
         return None
-    parts = [[np.asarray(x)[:ni] for x in jax.device_get(res)]
+    parts = [[np.asarray(x)[: -(-ni // item_div)]
+              for x in jax.device_get(res)]
              for res, ni in pending]
     return [np.concatenate(cols) for cols in zip(*parts)]
 

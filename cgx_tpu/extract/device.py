@@ -36,6 +36,31 @@ IMAX = 14   # max growth distance: lm + i <= max_rule_span with lm >= 1
 CWID = 16   # static width for masked span loops
 
 
+def _pack_family(v, ts, te, g1s, g1e, g2s=None, g2e=None):
+    """One int32 per emission slot: valid bit + 4-bit span/gap offsets relative
+    to the family's target start (every emitted span has width < max_rule_span,
+    enforced by the state machines' w_span kills), so each family crosses the
+    wire as (ts, packed) = 8 bytes instead of 20-28."""
+    def off(x, sh):
+        return jnp.clip(jnp.where(v, x - ts, 0), 0, 15) << sh
+    pk = v.astype(jnp.int32) | off(te, 1) | off(g1s, 5) | off(g1e, 9)
+    if g2s is not None:
+        pk = pk | off(g2s, 13) | off(g2e, 17)
+    return ts, pk
+
+
+def unpack_family(ts, pk, two_gaps=False):
+    """Host inverse of _pack_family -> (v, ts, te, g1s, g1e[, g2s, g2e])."""
+    pk = np.asarray(pk, np.int64)
+    ts = np.asarray(ts, np.int64)
+    v = (pk & 1).astype(bool)
+    out = [v, ts, ts + ((pk >> 1) & 15), ts + ((pk >> 5) & 15),
+           ts + ((pk >> 9) & 15)]
+    if two_gaps:
+        out += [ts + ((pk >> 13) & 15), ts + ((pk >> 17) & 15)]
+    return tuple(out)
+
+
 def _rlp_LR(rlp, pos):
     """(L, R, aligned) from an RLP word, OOB-guarded to unaligned."""
     oob = pos < 0
@@ -346,7 +371,9 @@ def _extract_contig_item(refstr, rlp, lr_tar, mrs, msym, cs, lm):
           jnp.int32(0), rule5, rule5, rule7)
     st = jax.lax.fori_loop(1, IMAX + 1, outer_body, st)
     xab, abx, xabx = st[7], st[8], st[9]
-    return (ab_ok, ab_ts, ab_len) + xab + abx + xabx
+    ab_te = ab_ts + jnp.where(ab_ok, ab_len, 0)
+    return _pack_family(ab_ok, ab_ts, ab_te, ab_ts, ab_ts) \
+        + _pack_family(*xab) + _pack_family(*abx) + _pack_family(*xabx)
 
 
 
@@ -385,14 +412,16 @@ def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig,
         return (ContigRules(*(np.empty(0, np.int32) for _ in range(3))),
                 empty, empty)
     out = engine.contig(sa_pos, lms)
-    (ab_v, ab_ts, ab_len,
-     x_v, x_ts, x_te, x_g1s, x_g1e,
-     a_v, a_ts, a_te, a_g1s, a_g1e,
-     t_v, t_ts, t_te, t_g1s, t_g1e, t_g2s, t_g2e) = out
+    (ab_tsp, ab_pk, x_tsp, x_pk, a_tsp, a_pk, t_tsp, t_pk) = out
+    ab_v, ab_ts, ab_te, _, _ = unpack_family(ab_tsp, ab_pk)
+    x_v, x_ts, x_te, x_g1s, x_g1e = unpack_family(x_tsp, x_pk)
+    a_v, a_ts, a_te, a_g1s, a_g1e = unpack_family(a_tsp, a_pk)
+    t_v, t_ts, t_te, t_g1s, t_g1e, t_g2s, t_g2e = unpack_family(
+        t_tsp, t_pk, two_gaps=True)
 
     m = ab_v
     contig = ContigRules(tar_start=ab_ts[m].astype(np.int32),
-                         tar_end=ab_len[m].astype(np.int32),
+                         tar_end=(ab_te - ab_ts)[m].astype(np.int32),
                          blocknumber=bnums[m].astype(np.int32))
 
     def gaprules(parts):
@@ -562,9 +591,14 @@ def _extract_onegap_item(refstr, rlp, lr_tar, mrs, msym, cs, first_end,
     _, _, xaxb, axbx = jax.lax.fori_loop(1, IMAX + 1, outer_body,
                                          (left, right, rule5, rule5))
 
-    return (axb_v, ts, te, gap1s, gap1e,
-            xaxb[0], xaxb[1], xaxb[2], xaxb[3], xaxb[4],
-            axbx[0], axbx[1], axbx[2], axbx[3], axbx[4])
+    return _pack_family(axb_v, ts, te, gap1s, gap1e) \
+        + _pack_family(xaxb[0], xaxb[1], xaxb[2], xaxb[3], xaxb[4],
+                       jnp.where(xaxb[0], gap1s, xaxb[1]),
+                       jnp.where(xaxb[0], gap1e, xaxb[1])) \
+        + _pack_family(axbx[0], axbx[1], axbx[2],
+                       jnp.where(axbx[0], gap1s, axbx[1]),
+                       jnp.where(axbx[0], gap1e, axbx[1]),
+                       axbx[3], axbx[4])
 @functools.partial(jax.jit, static_argnames=("mrs", "msym"))
 def _onegap_batch(refstr, rlp, lr_tar, cs, first_end, sl, el, offs, mrs, msym):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
@@ -621,9 +655,12 @@ def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
         return empty, empty
     ids = np.asarray(ids, dtype=np.int64)
     out = engine.onegap(css, fes, sls, els)
-    (b_v, b_ts, b_te, b_g1s, b_g1e,
-     l_v, l_ts, l_te, l_g1s, l_g1e,
-     r_v, r_ts, r_te, r_g2s, r_g2e) = out
+    (b_tsp, b_pk, l_tsp, l_pk, r_tsp, r_pk) = out
+    b_v, b_ts, b_te, b_g1s, b_g1e = unpack_family(b_tsp, b_pk)
+    l_v, l_ts, l_te, l_g1s, l_g1e, l_og1s, l_og1e = unpack_family(
+        l_tsp, l_pk, two_gaps=True)
+    r_v, r_ts, r_te, r_og1s, r_og1e, r_g2s, r_g2e = unpack_family(
+        r_tsp, r_pk, two_gaps=True)
 
     def mk(parts):
         rows = []
@@ -647,10 +684,11 @@ def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
 
     rules1 = mk([(b_v, b_ts, b_te, b_g1s, b_g1e, b_ts, b_ts, ids)])   # aXb
     # XaXb: gap1 = new left X, gap2 = original aXb gap; aXbX: gap1 = original,
-    # gap2 = new right X (ExtractPair.cu:745-757, 866-877)
+    # gap2 = new right X (ExtractPair.cu:745-757, 866-877); the original-gap
+    # offsets ride in each family's packed word
     rules2 = mk([
-        (l_v, l_ts, l_te, l_g1s, l_g1e, b_g1s, b_g1e, ids),
-        (r_v, r_ts, r_te, b_g1s, b_g1e, r_g2s, r_g2e,
+        (l_v, l_ts, l_te, l_g1s, l_g1e, l_og1s, l_og1e, ids),
+        (r_v, r_ts, r_te, r_og1s, r_og1e, r_g2s, r_g2e,
          len(search1.qrystart) + ids),
     ])
     return rules1, rules2
@@ -677,7 +715,7 @@ def _extract_twogap_item(refstr, rlp, lr_tar, mrs, cs, first_end,
     g2s, g2e = gapspan(cs + first_end + 1, cs + second_end - cl)
     code, ts, te, _, _ = _check_boundary_dev(refstr, rlp, lr_tar, cs,
                                              cs + second_end, mrs)
-    return code == 1, ts, te, g1s, g1e, g2s, g2e
+    return _pack_family(code == 1, ts, te, g1s, g1e, g2s, g2e)
 
 
 @functools.partial(jax.jit, static_argnames=("mrs",))
@@ -707,8 +745,8 @@ def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
     if len(ids) == 0:
         return GapRules(*(np.empty(0, np.int32) for _ in range(7)))
     out = engine.twogap(css, fes, ses, sls, els, cls)
-    v, ts, te, g1s, g1e, g2s, g2e = out
-    v = v.astype(bool)
+    v, ts, te, g1s, g1e, g2s, g2e = unpack_family(out[0], out[1],
+                                                  two_gaps=True)
     m = v
     a = np.stack([ts[m], (te - ts)[m], (g1s - ts)[m], (g1e - ts)[m],
                   (g2s - ts)[m], (g2e - ts)[m], ids[m]], axis=1).astype(np.int64)

@@ -67,9 +67,10 @@ def make_sharded_search_step(mesh: Mesh, reflen: int, mrs: int, msym: int):
             xdev._extract_contig_item, refstr, rlp, lr_tar,
             mrs, msym))(cs, lms)
         n_match = jax.lax.psum(jnp.sum(p1[0] > 0), "dp")
+        # families come back packed (ts, word) pairs; bit 0 = valid
         n_rules = jax.lax.psum(
-            jnp.sum(ex[0]) + jnp.sum(ex[3]) + jnp.sum(ex[8]) + jnp.sum(ex[13]),
-            "dp")
+            jnp.sum(ex[1] & 1) + jnp.sum(ex[3] & 1) + jnp.sum(ex[5] & 1)
+            + jnp.sum(ex[7] & 1), "dp")
         return p1, ex, n_match, n_rules
 
     from jax.experimental.shard_map import shard_map
@@ -77,7 +78,7 @@ def make_sharded_search_step(mesh: Mesh, reflen: int, mrs: int, msym: int):
         step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(),
                   P("dp"), P("dp"), P("dp"), P("dp")),
-        out_specs=((P("dp"),) * 6, (P("dp"),) * 20, P(), P()),
+        out_specs=((P("dp"),) * 6, (P("dp"),) * 8, P(), P()),
         check_rep=False)
     return jax.jit(sharded)
 

@@ -553,7 +553,7 @@ class ShardedEngine:
                 [c, l])
         return self._partitioned(cs_all, [cs_all,
                                           np.asarray(lm, np.int32)],
-                                 run_one, [()] * 20)
+                                 run_one, [()] * 8)
 
     def onegap(self, css, fes, sls, els):
         from cgx_tpu.extract.device import _onegap_batch
@@ -568,7 +568,7 @@ class ShardedEngine:
                                          cfg.max_rule_symbols),
                 list(its))
         return self._partitioned(css, [css, fes, sls, els], run_one,
-                                 [()] * 15)
+                                 [()] * 6)
 
     def twogap(self, css, fes, ses, sls, els, cls):
         from cgx_tpu.extract.device import _twogap_batch
@@ -582,4 +582,4 @@ class ShardedEngine:
                                          cfg.max_rule_span),
                 list(its))
         return self._partitioned(css, [css, fes, ses, sls, els, cls],
-                                 run_one, [()] * 7)
+                                 run_one, [()] * 2)

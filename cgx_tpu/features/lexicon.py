@@ -448,9 +448,16 @@ def _target_key_rows(tgt_str, ts, te, g1s=None, g1e=None, g2s=None, g2e=None):
 
 def _dedup(cid, key_rows):
     """Group+dedup by (cid, key); returns (uniq_first_idx sorted by appearance,
-    inverse mapping instance->distinct, counts)."""
-    full = np.concatenate([cid[:, None], key_rows], axis=1)
-    _, first, inv, counts = np.unique(full, axis=0, return_index=True,
+    inverse mapping instance->distinct, counts).  Key columns are paired into
+    int64 words before the row-unique (equality-preserving; row sort order is
+    irrelevant — appearance order is restored below)."""
+    full = np.concatenate([cid[:, None].astype(np.int32),
+                           key_rows.astype(np.int32)], axis=1)
+    if full.shape[1] % 2:
+        full = np.concatenate(
+            [full, np.zeros((len(full), 1), np.int32)], axis=1)
+    packed = np.ascontiguousarray(full).view(np.int64)
+    _, first, inv, counts = np.unique(packed, axis=0, return_index=True,
                                       return_inverse=True, return_counts=True)
     order = np.argsort(first, kind="stable")
     rank = np.empty_like(order)

@@ -33,6 +33,46 @@ def _lookup(lex_key, lex_val, keys):
     return np.where(found, lex_val[ic], np.float32(0)).astype(np.float32)
 
 
+DENSE_LIMIT = 1 << 26  # max dense-matrix entries (256 MB of float32)
+
+
+def _make_lookup(lex_key, lex_vals):
+    """Probe function (val_index, keys) -> float32 values.
+
+    When the (src, tgt) id space is small enough, the sorted-table binary
+    search collapses to direct indexing into dense per-direction probability
+    matrices (identical values: first table row wins on duplicate pairs, like
+    searchsorted); otherwise falls back to batched searchsorted."""
+    n = len(lex_key)
+    if n:
+        src = (lex_key >> 32).astype(np.int64)
+        tgt = (lex_key & 0xFFFFFFFF).astype(np.int64) - 2**31
+        si = src + 1
+        ti = tgt + 1
+        ns = int(si.max()) + 1
+        nt = int(ti.max()) + 1
+        if ns * nt <= DENSE_LIMIT:
+            mats = []
+            for v in lex_vals:
+                M = np.zeros((ns, nt), dtype=np.float32)
+                M[si[::-1], ti[::-1]] = np.asarray(v, np.float32)[::-1]
+                mats.append(M)
+
+            def lk(vi, keys):
+                s = (keys >> 32) + 1
+                t = (keys & 0xFFFFFFFF) - 2**31 + 1
+                ok = (s >= 0) & (s < ns) & (t >= 0) & (t < nt)
+                return np.where(
+                    ok, mats[vi][np.clip(s, 0, ns - 1),
+                                 np.clip(t, 0, nt - 1)],
+                    np.float32(0)).astype(np.float32)
+            return lk
+
+    def lk(vi, keys):
+        return _lookup(lex_key, lex_vals[vi], keys)
+    return lk
+
+
 def compute_maxlex_tpu(task_arrays: dict, index, rules_one, rules_two,
                        rules_contig, cfg: ExtractorConfig):
     """Scores the families' TaskArrays, accumulates in reference float32 order,
@@ -70,12 +110,11 @@ def compute_maxlex_tpu(task_arrays: dict, index, rules_one, rules_two,
 
     sp = src_pat.astype(np.int64)
     keys = pack_lex_key(sp[:, :, None], ttok[:, None, :])        # [T, 5, 16]
-    v2 = _lookup(lex_key, lex_val2, keys)                        # P(t|s) side
-    v1 = _lookup(lex_key, lex_val1, keys)                        # P(s|t) side
-    v2null = _lookup(lex_key, lex_val2,
-                     pack_lex_key(sp, np.full_like(sp, -1)))     # [T, 5]
-    v1null = _lookup(lex_key, lex_val1,
-                     pack_lex_key(np.full_like(ttok, -1), ttok))  # [T, 16]
+    lk = _make_lookup(lex_key, (lex_val1, lex_val2))
+    v2 = lk(1, keys)                                             # P(t|s) side
+    v1 = lk(0, keys)                                             # P(s|t) side
+    v2null = lk(1, pack_lex_key(sp, np.full_like(sp, -1)))       # [T, 5]
+    v1null = lk(0, pack_lex_key(np.full_like(ttok, -1), ttok))   # [T, 16]
 
     fge_best = np.max(np.where(tmask[:, None, :], v2, np.float32(0)), axis=2)
     fge_best = np.where(any_t[:, None], np.maximum(fge_best, v2null), fge_best)

@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sharded-index mode: split every O(corpus) device "
                         "array across N devices (corpora beyond one chip's "
                         "HBM)")
+    p.add_argument("--query-batches", type=int, default=0, metavar="B",
+                   help="pipeline overlap: split queries into B batches and "
+                        "run batch i's host scoring concurrently with batch "
+                        "i+1's device search/extraction")
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                    help="multi-host: jax.distributed coordinator address "
                         "(process 0 hosts it); shards the query file across "
@@ -104,7 +108,8 @@ def main(argv=None) -> int:
                                  args.reftargetfile, args.alignfile,
                                  args.lexfile, args.dest_dir, cfg,
                                  index_dir=args.index_dir,
-                                 sa_shards=args.sa_shards)
+                                 sa_shards=args.sa_shards,
+                                 query_batches=args.query_batches)
     if args.profile:
         import jax
         jax.profiler.stop_trace()

@@ -104,26 +104,48 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     art, index, t = build_artifact(f_lines, e_lines, a_lines, lex_tokens, cfg,
                                    timing, index_dir,
                                    device_index=(sa_shards == 0))
-    source, target, align = art.source, art.target, art.align
-    sa, pc = art.sa, art.precomp
+    ctx = _make_context(art, index, t, cfg, sa_shards)
     with t.phase("qrysload"):
-        queries = cp.load_queries(q_lines, source.vocab)
+        queries = cp.load_queries(q_lines, art.source.vocab)
+    front = _front_stages(ctx, queries, cfg, t)
+    per_query_lines, counters = _back_stages(ctx, queries, front, cfg, t)
+    return PipelineResult(queries=queries, per_query_lines=per_query_lines,
+                          counters=counters, timing=t)
+
+
+def _make_context(art, index, t, cfg, sa_shards):
+    """Engine + index handles shared by every query batch."""
+    ctx = dict(art=art, index=index, source=art.source, target=art.target,
+               sa=art.sa, pc=art.precomp)
     if sa_shards:
         from cgx_tpu.parallel import sharded as shx
         with t.phase("qrysin"):
-            sidx = shx.build_sharded_index(source, target, sa, align, cfg,
+            sidx = shx.build_sharded_index(art.source, art.target, art.sa,
+                                           art.align, cfg,
                                            n_devices=sa_shards)
-            engine = shx.ShardedEngine(sidx, cfg)
-            lex_index = ic.build_host_lex_index(target, art.lex)
-        with t.phase("kernel"):
-            p1, p2 = shx.sharded_passes(sidx, queries)
-        sa_values = engine.sa_values
+            ctx["engine"] = shx.ShardedEngine(sidx, cfg)
+            ctx["sidx"] = sidx
+            ctx["lex_index"] = ic.build_host_lex_index(art.target, art.lex)
+            ctx["sa_values"] = ctx["engine"].sa_values
     else:
-        sa_host = np.asarray(sa.sa)
         from cgx_tpu.engine import ReplicatedEngine
-        engine = ReplicatedEngine(index, sa_host, cfg)
-        lex_index = index
-        sa_values = None
+        ctx["engine"] = ReplicatedEngine(index, np.asarray(art.sa.sa), cfg)
+        ctx["sidx"] = None
+        ctx["lex_index"] = index
+        ctx["sa_values"] = None
+    return ctx
+
+
+def _front_stages(ctx, queries, cfg, t):
+    """Device-driven half: pass 1/2, enumerations, gappy lookups, extraction.
+    Must run on the main thread (owns all JAX dispatch)."""
+    index, engine = ctx["index"], ctx["engine"]
+    source, sa, pc = ctx["source"], ctx["sa"], ctx["pc"]
+    if ctx["sidx"] is not None:
+        from cgx_tpu.parallel import sharded as shx
+        with t.phase("kernel"):
+            p1, p2 = shx.sharded_passes(ctx["sidx"], queries)
+    else:
         with t.phase("kernel"):
             p1 = passes.pass1_tpu(index, queries)
         with t.phase("kernel2"):
@@ -150,7 +172,8 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
         check_capacity("twogap_sa", len(twogap_sa.position), cfg.cap_twogap_sa)
 
     with t.phase("extractin"):
-        blocks = generate_blocks(sa, queries, p1, p2, sa_values=sa_values)
+        blocks = generate_blocks(sa, queries, p1, p2,
+                                 sa_values=ctx["sa_values"])
     with t.phase("extractkernel"):
         contig, og_blocks, tg_blocks = xdev.extract_contiguous_tpu(
             index, blocks, cfg, engine=engine)
@@ -164,16 +187,30 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     sep1 = len(tg_blocks.gappy_index)
     sep2 = sep1 + len(tg_seeds.gappy_index)
     rules2 = _concat_gaprules(_concat_gaprules(tg_blocks, tg_seeds), tg_onegap)
+    return dict(p1=p1, p2=p2, enum1=enum1, search1=search1,
+                onegap_sa=onegap_sa, enum2=enum2, search2=search2,
+                twogap_sa=twogap_sa, blocks=blocks, contig=contig,
+                rules1=rules1, rules2=rules2, sep_onegap=sep_onegap,
+                sep1=sep1, sep2=sep2)
 
+
+def _back_stages(ctx, queries, fr, cfg, t):
+    """Host-only half: lexicon build, MaxLex, rule formatting.  Thread-safe
+    (numpy only), so the overlap mode runs it concurrently with the next
+    batch's front half."""
+    source, target, pc = ctx["source"], ctx["target"], ctx["pc"]
+    lex_index = ctx["lex_index"]
+    blocks, search1, enum1 = fr["blocks"], fr["search1"], fr["enum1"]
+    search2, enum2 = fr["search2"], fr["enum2"]
     with t.phase("lexicon"):
         rules_one, tasks_one = lx.fast_create_lexicon_onegap(
-            rules1, source, target, blocks, search1, enum1, onegap_sa, pc,
-            sep_onegap, cfg)
+            fr["rules1"], source, target, blocks, search1, enum1,
+            fr["onegap_sa"], pc, fr["sep_onegap"], cfg)
         rules_two, tasks_two = lx.fast_create_lexicon_twogap(
-            rules2, source, target, blocks, search1, enum1, search2, enum2,
-            onegap_sa, pc, sep1, sep2, cfg)
+            fr["rules2"], source, target, blocks, search1, enum1, search2,
+            enum2, fr["onegap_sa"], pc, fr["sep1"], fr["sep2"], cfg)
         rules_contig, tasks_contig = lx.fast_create_lexicon_contig(
-            contig, source, target, blocks, cfg)
+            fr["contig"], source, target, blocks, cfg)
     with t.phase("maxlex"):
         ml.compute_maxlex_tpu(
             {"onegap": tasks_one, "twogap": tasks_two, "contig": tasks_contig},
@@ -198,28 +235,80 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
         ]
     counters = dict(
         blocks=G, distinct_onegap=D1, distinct_twogap=D2,
-        pass1_tokens=queries.totaltokens, pass2_items=len(p2.up),
-        onegap_sa=len(onegap_sa.position), twogap_sa=len(twogap_sa.position),
-        contig_pairs=len(contig.blocknumber),
-        onegap_rules=len(rules1.gappy_index),
-        twogap_rules=len(rules2.gappy_index),
+        pass1_tokens=queries.totaltokens, pass2_items=len(fr["p2"].up),
+        onegap_sa=len(fr["onegap_sa"].position),
+        twogap_sa=len(fr["twogap_sa"].position),
+        contig_pairs=len(fr["contig"].blocknumber),
+        onegap_rules=len(fr["rules1"].gappy_index),
+        twogap_rules=len(fr["rules2"].gappy_index),
         distinct_rules=len(rules_one) + len(rules_two) + len(rules_contig),
         total_lines=sum(len(x) for x in per_query_lines))
+    return per_query_lines, counters
+
+
+def run_pipeline_overlap(f_lines, e_lines, a_lines, lex_tokens, q_lines,
+                         cfg: ExtractorConfig = DEFAULT_CONFIG,
+                         timing: PhaseTimer = None, index_dir: str = None,
+                         sa_shards: int = 0,
+                         query_batches: int = 2) -> PipelineResult:
+    """Pipeline-parallel analog (SURVEY.md section 2.3 PP row): queries split
+    into contiguous batches; batch i's host-only back half (lexicon/MaxLex/
+    formatting) runs on a worker thread WHILE batch i+1's device-driven front
+    half dispatches — phase k of batch i overlaps phase k+1 of batch i-1.
+    Byte-identical to the single-batch run per query (rule features are
+    pattern-intrinsic, so batch composition cannot change any line — the same
+    invariant the multi-host split relies on, enforced by tests)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    art, index, t = build_artifact(f_lines, e_lines, a_lines, lex_tokens, cfg,
+                                   timing, index_dir,
+                                   device_index=(sa_shards == 0))
+    ctx = _make_context(art, index, t, cfg, sa_shards)
+    with t.phase("qrysload"):
+        all_q = list(q_lines)
+    B = max(1, min(query_batches, len(all_q)))
+    per = -(-len(all_q) // B)
+    chunks = [all_q[i:i + per] for i in range(0, len(all_q), per)]
+    futs = []
+    qsets = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for chunk in chunks:
+            with t.phase("qrysload"):
+                qb = cp.load_queries(chunk, art.source.vocab)
+            qsets.append(qb)
+            front = _front_stages(ctx, qb, cfg, t)
+            futs.append(pool.submit(_back_stages, ctx, qb, front, cfg, t))
+        outs = [f.result() for f in futs]
+    per_query_lines = []
+    counters: dict = {}
+    for lines, cnt in outs:
+        per_query_lines.extend(lines)
+        for k, v in cnt.items():
+            counters[k] = counters.get(k, 0) + v
+    queries = cp.load_queries(all_q, art.source.vocab)
     return PipelineResult(queries=queries, per_query_lines=per_query_lines,
                           counters=counters, timing=t)
 
 
 def run_pipeline_files(reffile, qryfile, tarfile, alignfile, lexfile, dest_dir,
                        cfg: ExtractorConfig = DEFAULT_CONFIG,
-                       index_dir: str = None, sa_shards: int = 0):
+                       index_dir: str = None, sa_shards: int = 0,
+                       query_batches: int = 0):
     with open(reffile, encoding="utf-8") as fh:
         f_text = fh.read()
     with open(tarfile, encoding="utf-8") as fh:
         e_text = fh.read()
-    res = run_pipeline(
-        f_text, e_text, cp.read_lines(alignfile),
-        cp.read_tokens(lexfile), cp.read_lines(qryfile), cfg,
-        index_dir=index_dir, sa_shards=sa_shards)
+    if query_batches > 1:
+        res = run_pipeline_overlap(
+            f_text, e_text, cp.read_lines(alignfile),
+            cp.read_tokens(lexfile), cp.read_lines(qryfile), cfg,
+            index_dir=index_dir, sa_shards=sa_shards,
+            query_batches=query_batches)
+    else:
+        res = run_pipeline(
+            f_text, e_text, cp.read_lines(alignfile),
+            cp.read_tokens(lexfile), cp.read_lines(qryfile), cfg,
+            index_dir=index_dir, sa_shards=sa_shards)
     gw.write_grammars(dest_dir, res.queries.qryscount, cfg.is_sample,
                       res.per_query_lines)
     import sys

@@ -60,3 +60,15 @@ def test_capacity_overflow_is_reported():
     args = _world()
     with pytest.raises(CapacityError, match="onegap_enum"):
         tpl.run_pipeline(*args, cfg)
+
+
+def test_overlap_mode_byte_identical():
+    """Pipeline-overlap mode (batched queries, host half on a worker thread)
+    must reproduce the single-batch grammars per query exactly."""
+    cfg = ExtractorConfig(precompute_count=10)
+    args = _world()
+    base = tpl.run_pipeline(*args, cfg)
+    ov = tpl.run_pipeline_overlap(*args, cfg, query_batches=3)
+    assert base.counters["total_lines"] == ov.counters["total_lines"]
+    for q in range(len(args[4])):
+        assert base.per_query_lines[q] == ov.per_query_lines[q], f"query {q}"

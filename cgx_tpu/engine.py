@@ -44,9 +44,21 @@ def expand_hits(hit_idx, counts, ids=None):
 
 
 def _pad1(a) -> np.ndarray:
-    """Length >= 1 (clip-safe device gathers on possibly-empty tables)."""
+    """Bucket-padded row table (clip-safe gathers, shape-stable programs)."""
+    from cgx_tpu.utils.batching import pad_tokens
     a = np.asarray(a, np.int32)
-    return a if len(a) else np.zeros(1, np.int32)
+    if not len(a):
+        a = np.zeros(1, np.int32)
+    return pad_tokens(a, np.int32(0))
+
+
+def _pad_pat(a, edge=False) -> np.ndarray:
+    """Bucket-padded per-pattern array; ``edge`` repeats the final value
+    (required for the monotone count prefix)."""
+    from cgx_tpu.utils.batching import pad_tokens
+    a = np.ascontiguousarray(a)
+    fill = a[-1] if (edge and len(a)) else 0
+    return pad_tokens(a, a.dtype.type(fill))
 
 
 class ReplicatedEngine:
@@ -73,12 +85,14 @@ class ReplicatedEngine:
         N = int(offs[-1])
         pcsd = (jnp.asarray(_pad1(pc.onegap_start)),
                 jnp.asarray(_pad1(pc.onegap_length)))
-        pp = tuple(jnp.asarray(np.asarray(a, np.int64).astype(np.int32))
-                   for a in (base, offs, sl, el, tok, stok))
+        D = len(counts)
+        pp = tuple(jnp.asarray(_pad_pat(np.asarray(a, np.int64)
+                                        .astype(np.int32), edge=(i == 1)))
+                   for i, a in enumerate((base, offs, sl, el, tok, stok)))
         qt = ix.device_query_tokens(queries)
         packed = chunked_indices(
             lambda s, n: _pcs_batch_exp(ix.refstr_padded, qt, *pcsd, *pp,
-                                        jnp.int32(s), ix.offs0,
+                                        jnp.int32(s), jnp.int32(D), ix.offs0,
                                         cfg.max_rule_span, n), N,
             chunk=PCS_CHUNK, item_div=32)
         bits = np.asarray(packed[0], np.uint32)
@@ -91,13 +105,16 @@ class ReplicatedEngine:
         ix, cfg = self.index, self.cfg
         offs = _offsets(counts)
         N = int(offs[-1])
-        pp = tuple(jnp.asarray(np.asarray(a, np.int64).astype(np.int32))
-                   for a in (lo, offs, sl, el, side))
+        D = len(counts)
+        pp = tuple(jnp.asarray(_pad_pat(np.asarray(a, np.int64)
+                                        .astype(np.int32), edge=(i == 1)))
+                   for i, a in enumerate((lo, offs, sl, el, side)))
         qt = ix.device_query_tokens(queries)
         return chunked_indices(
             lambda s, n: _scan_batch_exp(ix.refstr_padded, ix.sa, ix.rlp,
                                          ix.lr_tar, qt, *pp, jnp.int32(s),
-                                         ix.offs0, cfg.max_rule_span,
+                                         jnp.int32(D), ix.offs0,
+                                         cfg.max_rule_span,
                                          cfg.min_gap_size, fwd, n), N,
             chunk=SCAN_CHUNK)
 
@@ -109,12 +126,15 @@ class ReplicatedEngine:
         tabs = tuple(jnp.asarray(_pad1(a)) for a in (
             onegap_sa.str_position, onegap_sa.length,
             pc.onegap_start, pc.onegap_length))
-        pp = (jnp.asarray(np.asarray(lo, np.int64).astype(np.int32)),
-              jnp.asarray(offs.astype(np.int32)),
-              jnp.asarray(np.asarray(pcmode, bool)))
+        D = len(counts)
+        pp = (jnp.asarray(_pad_pat(np.asarray(lo, np.int64)
+                                   .astype(np.int32))),
+              jnp.asarray(_pad_pat(offs.astype(np.int32), edge=True)),
+              jnp.asarray(_pad_pat(np.asarray(pcmode, bool))))
         (comb,) = chunked_indices(
             lambda s, n: _two_batch_exp(ix.refstr_padded, ix.rlp, ix.lr_tar,
-                                        *tabs, *pp, jnp.int32(s), ix.offs0,
+                                        *tabs, *pp, jnp.int32(s),
+                                        jnp.int32(D), ix.offs0,
                                         cfg.max_rule_span, cfg.min_gap_size,
                                         n), N, chunk=SCAN_CHUNK)
         comb = np.asarray(comb, np.uint32)

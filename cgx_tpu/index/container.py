@@ -56,9 +56,11 @@ class GrammarIndex:
     @property
     def offs0(self):
         """Identity offsets for the replicated layout (utils.views.make_views):
-        (src_off, tgt_off, refstr_glen, rlp_glen, lrtar_glen)."""
-        return (0, 0, int(self.refstr_padded.shape[0]),
-                int(self.rlp.shape[0]), int(self.lr_tar.shape[0]))
+        (src_off, tgt_off, refstr_glen, rlp_glen, lrtar_glen).  Traced scalars
+        so programs stay corpus-size-independent (arrays are bucket-padded)."""
+        return (np.int32(0), np.int32(0),
+                np.int32(self.refstr_padded.shape[0]),
+                np.int32(self.rlp.shape[0]), np.int32(self.lr_tar.shape[0]))
 
 
 @dataclasses.dataclass
@@ -97,6 +99,7 @@ def build_index(source: SourceCorpus, target: TargetCorpus, sa: SAIndex,
     # cgx_tpu.search.passes): the final token is the unique maximum.
     assert int(source.str_[sa.sa[-1]]) == int(source.str_.max()), \
         "corpus must end in the unique sentinel token"
+    from cgx_tpu.utils.batching import pad_tokens as _ptk
     refstr_padded = passes.pad_refstr(source.str_, cfg.qry_max_length)
     # pad RLP with unaligned words so right-growth reads past the end are safe
     rlp_padded = np.concatenate([
@@ -105,12 +108,21 @@ def build_index(source: SourceCorpus, target: TargetCorpus, sa: SAIndex,
     tgt_pad = np.full(cfg.max_rule_span + 2, 255, dtype=np.int32)
     l_tar_np = np.concatenate([align.L_tar.astype(np.int32), tgt_pad])
     r_tar_np = np.concatenate([align.R_tar.astype(np.int32), tgt_pad])
+    # bucket-pad every device array to a power of two so every compiled
+    # program is corpus-size-independent (shape-stable across corpora; the
+    # searches are bounded by the traced logical reflen)
+    refstr_padded = _ptk(refstr_padded, np.int32(0))
+    rlp_padded = _ptk(rlp_padded, np.uint32(0xFFFF0000))
+    l_tar_np = _ptk(l_tar_np, np.int32(255))
+    r_tar_np = _ptk(r_tar_np, np.int32(255))
     return GrammarIndex(
         reflen=source.toklen,
         refstr_padded=jnp.asarray(refstr_padded),
-        sa=jnp.asarray(sa.sa),
-        lcpleft=jnp.asarray(sa.lcpleft),
-        lcpright=jnp.asarray(sa.lcpright),
+        sa=jnp.asarray(_ptk(np.asarray(sa.sa, np.int32), np.int32(0))),
+        lcpleft=jnp.asarray(_ptk(np.asarray(sa.lcpleft, np.int32),
+                                 np.int32(0))),
+        lcpright=jnp.asarray(_ptk(np.asarray(sa.lcpright, np.int32),
+                                  np.int32(0))),
         rlp=jnp.asarray(rlp_padded),
         l_tar=jnp.asarray(l_tar_np),
         r_tar=jnp.asarray(r_tar_np),

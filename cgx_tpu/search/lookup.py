@@ -169,8 +169,9 @@ def _pcs_batch(refstr, qtokens, pstart, plen, sl, el, tok, stok, offs, mrs):
 # ---------------------------------------------------------------------------
 
 def _expand(offs_d, g, D):
-    """item index -> (pattern, tx) via the exclusive count prefix offs_d[D+1];
-    padding items (g >= offs_d[-1]) clamp to the last pattern."""
+    """item index -> (pattern, tx) via the exclusive count prefix (edge-padded
+    past D+1 entries); padding items clamp to the last real pattern.  ``D`` is
+    a traced scalar so the program is pattern-count-independent."""
     pat = jnp.clip(jnp.searchsorted(offs_d, g, side="right") - 1, 0, D - 1)
     tx = g - offs_d[pat]
     return pat, tx
@@ -178,10 +179,10 @@ def _expand(offs_d, g, D):
 
 @functools.partial(jax.jit, static_argnames=("mrs", "n"))
 def _pcs_batch_exp(refstr, qtokens, pc_start, pc_len, base_d, offs_d, sl_d,
-                   el_d, tok_d, stok_d, start, offs, mrs, n):
+                   el_d, tok_d, stok_d, start, d_real, offs, mrs, n):
     refstr, _, _ = make_views(refstr, refstr, refstr, offs)
     g = start + jnp.arange(n, dtype=jnp.int32)
-    pat, tx = _expand(offs_d, g, sl_d.shape[0])
+    pat, tx = _expand(offs_d, g, d_real)
     row = jnp.clip(base_d[pat] + tx, 0, pc_start.shape[0] - 1)
     f = functools.partial(_pcs_item, refstr, qtokens, mrs)
     (ok,) = jax.vmap(f)(pc_start[row], pc_len[row], sl_d[pat], el_d[pat],
@@ -194,11 +195,11 @@ def _pcs_batch_exp(refstr, qtokens, pc_start, pc_len, base_d, offs_d, sl_d,
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd", "n"))
 def _scan_batch_exp(refstr, refsa, rlp, lr_tar, qtokens, lo_d, offs_d, sl_d,
-                    el_d, side_d, start, offs, mrs, mgs, fwd, n):
+                    el_d, side_d, start, d_real, offs, mrs, mgs, fwd, n):
     """Expanded forward/backward scans; ``side_d`` is stok (fwd) or tok (bwd)."""
     refstr_v, rlp_v, lrt_v = make_views(refstr, rlp, lr_tar, offs)
     g = start + jnp.arange(n, dtype=jnp.int32)
-    pat, tx = _expand(offs_d, g, sl_d.shape[0])
+    pat, tx = _expand(offs_d, g, d_real)
     gostart = refsa[jnp.clip(lo_d[pat] + tx, 0, refsa.shape[0] - 1)]
     item = _fwd_item if fwd else _bwd_item
     f = functools.partial(item, refstr_v, rlp_v, lrt_v, qtokens, mrs, mgs)
@@ -207,12 +208,12 @@ def _scan_batch_exp(refstr, refsa, rlp, lr_tar, qtokens, lo_d, offs_d, sl_d,
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs", "n"))
 def _two_batch_exp(refstr, rlp, lr_tar, og_sp, og_len, pc_start, pc_len,
-                   lo_d, offs_d, pcmode_d, start, offs, mrs, mgs, n):
+                   lo_d, offs_d, pcmode_d, start, d_real, offs, mrs, mgs, n):
     """Expanded 2-gap core scan: occurrence (css, fes) resolved on device from
     the onegap-SA row tables or (pcmode) the precomp row tables."""
     refstr_v, rlp_v, lrt_v = make_views(refstr, rlp, lr_tar, offs)
     g = start + jnp.arange(n, dtype=jnp.int32)
-    pat, tx = _expand(offs_d, g, lo_d.shape[0])
+    pat, tx = _expand(offs_d, g, d_real)
     row = lo_d[pat] + tx
     pcm = pcmode_d[pat]
     row_sa = jnp.clip(row, 0, og_sp.shape[0] - 1)

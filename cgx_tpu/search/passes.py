@@ -215,7 +215,7 @@ def _pass2_item(refstr, refsa, lcpleft, lcpright, qtokens,
     return jnp.where(ok, up, -1), jnp.where(ok, down, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("reflen",))
+@jax.jit
 def _pass1_batch(refstr, refsa, lcpleft, lcpright, qtokens, toks, suffixlens,
                  reflen):
     f = functools.partial(_pass1_token, refstr, refsa, lcpleft, lcpright,
@@ -241,7 +241,7 @@ def pass1_tpu(index, queries) -> Pass1Result:
         lambda a, b: _pass1_batch(
             index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
             index.device_query_tokens(queries), jnp.asarray(a),
-            jnp.asarray(b), index.reflen),
+            jnp.asarray(b), jnp.int32(index.reflen)),
         [toks, suffixlens])
     return Pass1Result(up=up, down=down, firstfindhit=ffh, firstfindhitL=ffl,
                        firstfindhitR=ffr, longestmatch=lm)

@@ -19,7 +19,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from cgx_tpu.utils.batching import chunked_batch, chunked_indices
+from cgx_tpu.utils.batching import (Pending, chunked_batch,
+                                    chunked_indices)
 
 # dispatch chunk sizes for the expanded lookup kernels: their per-item device
 # temps are tiny (scalars / one MMOV window), so much larger chunks than the
@@ -78,7 +79,8 @@ class ReplicatedEngine:
     def sa_values(self, rows) -> np.ndarray:
         return self.sa_host[np.asarray(rows, np.int64)].astype(np.int32)
 
-    def pcs_expanded(self, queries, pc, base, counts, sl, el, tok, stok):
+    def pcs_expanded(self, queries, pc, base, counts, sl, el, tok, stok,
+                     fetch=True):
         from cgx_tpu.search.lookup import _pcs_batch_exp
         ix, cfg = self.index, self.cfg
         offs = _offsets(counts)
@@ -90,17 +92,21 @@ class ReplicatedEngine:
                                         .astype(np.int32), edge=(i == 1)))
                    for i, a in enumerate((base, offs, sl, el, tok, stok)))
         qt = ix.device_query_tokens(queries)
-        packed = chunked_indices(
+        packed_p = chunked_indices(
             lambda s, n: _pcs_batch_exp(ix.refstr_padded, qt, *pcsd, *pp,
                                         jnp.int32(s), jnp.int32(D), ix.offs0,
                                         cfg.max_rule_span, n), N,
-            chunk=PCS_CHUNK, item_div=32)
-        bits = np.asarray(packed[0], np.uint32)
-        ok = ((bits[:, None] >> np.arange(32, dtype=np.uint32)) & 1
-              ).astype(bool).ravel()[:N]
-        return (ok,)
+            chunk=PCS_CHUNK, item_div=32, fetch=False)
 
-    def scan_expanded(self, queries, fwd, lo, counts, sl, el, side):
+        def _post():
+            bits = np.asarray(packed_p.get()[0], np.uint32)
+            ok = ((bits[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+                  ).astype(bool).ravel()[:N]
+            return (ok,)
+        return _post() if fetch else Pending(_post)
+
+    def scan_expanded(self, queries, fwd, lo, counts, sl, el, side,
+                      fetch=True):
         from cgx_tpu.search.lookup import _scan_batch_exp
         ix, cfg = self.index, self.cfg
         offs = _offsets(counts)
@@ -116,9 +122,9 @@ class ReplicatedEngine:
                                          jnp.int32(D), ix.offs0,
                                          cfg.max_rule_span,
                                          cfg.min_gap_size, fwd, n), N,
-            chunk=SCAN_CHUNK)
+            chunk=SCAN_CHUNK, fetch=fetch)
 
-    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode):
+    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True):
         from cgx_tpu.search.lookup import _two_batch_exp
         ix, cfg = self.index, self.cfg
         offs = _offsets(counts)
@@ -131,15 +137,18 @@ class ReplicatedEngine:
                                    .astype(np.int32))),
               jnp.asarray(_pad_pat(offs.astype(np.int32), edge=True)),
               jnp.asarray(_pad_pat(np.asarray(pcmode, bool))))
-        (comb,) = chunked_indices(
+        comb_p = chunked_indices(
             lambda s, n: _two_batch_exp(ix.refstr_padded, ix.rlp, ix.lr_tar,
                                         *tabs, *pp, jnp.int32(s),
                                         jnp.int32(D), ix.offs0,
                                         cfg.max_rule_span, cfg.min_gap_size,
-                                        n), N, chunk=SCAN_CHUNK)
-        comb = np.asarray(comb, np.uint32)
-        return (comb & 0xFFFF).astype(np.int64), \
-            ((comb >> 16) & 0xFFFF).astype(np.int64)
+                                        n), N, chunk=SCAN_CHUNK, fetch=False)
+
+        def _post():
+            comb = np.asarray(comb_p.get()[0], np.uint32)
+            return (comb & 0xFFFF).astype(np.int64), \
+                ((comb >> 16) & 0xFFFF).astype(np.int64)
+        return _post() if fetch else Pending(_post)
 
     def fwd(self, queries, gostart, sl, el, stok):
         from cgx_tpu.search.lookup import _fwd_batch
@@ -182,7 +191,7 @@ class ReplicatedEngine:
                 cfg.max_rule_span, cfg.min_gap_size),
             [pstart, plen])
 
-    def contig(self, sa_pos, lm):
+    def contig(self, sa_pos, lm, fetch=True):
         from cgx_tpu.extract.device import _contig_batch
         ix, cfg = self.index, self.cfg
         return chunked_batch(
@@ -190,9 +199,10 @@ class ReplicatedEngine:
                 ix.refstr_padded, ix.sa, ix.rlp, ix.lr_tar,
                 jnp.asarray(sp), jnp.asarray(lp), ix.offs0,
                 cfg.max_rule_span, cfg.max_rule_symbols),
-            [np.asarray(sa_pos, np.int32), np.asarray(lm, np.int32)])
+            [np.asarray(sa_pos, np.int32), np.asarray(lm, np.int32)],
+            fetch=fetch)
 
-    def onegap(self, css, fes, sls, els):
+    def onegap(self, css, fes, sls, els, fetch=True):
         from cgx_tpu.extract.device import _onegap_batch
         ix, cfg = self.index, self.cfg
         return chunked_batch(
@@ -201,9 +211,10 @@ class ReplicatedEngine:
                 *(jnp.asarray(x) for x in a), ix.offs0,
                 cfg.max_rule_span, cfg.max_rule_symbols),
             [np.asarray(css, np.int32), np.asarray(fes, np.int32),
-             np.asarray(sls, np.int32), np.asarray(els, np.int32)])
+             np.asarray(sls, np.int32), np.asarray(els, np.int32)],
+            fetch=fetch)
 
-    def twogap(self, css, fes, ses, sls, els, cls):
+    def twogap(self, css, fes, ses, sls, els, cls, fetch=True):
         from cgx_tpu.extract.device import _twogap_batch
         ix, cfg = self.index, self.cfg
         return chunked_batch(
@@ -212,4 +223,5 @@ class ReplicatedEngine:
                 *(jnp.asarray(x) for x in a), ix.offs0, cfg.max_rule_span),
             [np.asarray(css, np.int32), np.asarray(fes, np.int32),
              np.asarray(ses, np.int32), np.asarray(sls, np.int32),
-             np.asarray(els, np.int32), np.asarray(cls, np.int32)])
+             np.asarray(els, np.int32), np.asarray(cls, np.int32)],
+            fetch=fetch)

@@ -395,9 +395,11 @@ def _contig_batch_pos(refstr, rlp, lr_tar, cs, lm, offs, mrs, msym):
 
 
 def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig,
-                           engine=None):
+                           engine=None, defer=False):
     """Host orchestration for extractConsistentPairs_Gappy: sampled occurrence
-    list -> device batch -> canonical compaction + stable id sort."""
+    list -> device batch -> canonical compaction + stable id sort.
+    ``defer=True`` returns a finisher callable after dispatching (lets the
+    pipeline overlap the three extraction kernels' round-trips)."""
     if engine is None:
         from cgx_tpu.engine import ReplicatedEngine
         engine = ReplicatedEngine(index, None, cfg)
@@ -409,9 +411,18 @@ def extract_contiguous_tpu(index, blocks: Blocks, cfg: ExtractorConfig,
     lms = blocks.matchlen.astype(np.int64)[bnums]
     if len(bnums) == 0:
         empty = GapRules(*(np.empty(0, np.int32) for _ in range(7)))
-        return (ContigRules(*(np.empty(0, np.int32) for _ in range(3))),
+        res0 = (ContigRules(*(np.empty(0, np.int32) for _ in range(3))),
                 empty, empty)
-    out = engine.contig(sa_pos, lms)
+        return (lambda: res0) if defer else res0
+    pend = engine.contig(sa_pos, lms, fetch=False)
+
+    def finish():
+        out = pend.get()
+        return _finish_contig(out, bnums, G)
+    return finish if defer else finish()
+
+
+def _finish_contig(out, bnums, G):
     (ab_tsp, ab_pk, x_tsp, x_pk, a_tsp, a_pk, t_tsp, t_pk) = out
     ab_v, ab_ts, ab_te, _, _ = unpack_family(ab_tsp, ab_pk)
     x_v, x_ts, x_te, x_g1s, x_g1e = unpack_family(x_tsp, x_pk)
@@ -641,7 +652,8 @@ def _onegap_occurrences(search1, onegap_sa, pc, sampler, is_sample):
 
 
 def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
-                       pc: Precomp, cfg: ExtractorConfig, engine=None):
+                       pc: Precomp, cfg: ExtractorConfig, engine=None,
+                       defer=False):
     if engine is None:
         from cgx_tpu.engine import ReplicatedEngine
         engine = ReplicatedEngine(index, None, cfg)
@@ -652,9 +664,17 @@ def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
     els = search1.qryend_len.astype(np.int64)[ids]
     if len(ids) == 0:
         empty = GapRules(*(np.empty(0, np.int32) for _ in range(7)))
-        return empty, empty
+        res0 = (empty, empty)
+        return (lambda: res0) if defer else res0
     ids = np.asarray(ids, dtype=np.int64)
-    out = engine.onegap(css, fes, sls, els)
+    pend = engine.onegap(css, fes, sls, els, fetch=False)
+
+    def finish():
+        return _finish_onegap(pend.get(), ids, D1)
+    return finish if defer else finish()
+
+
+def _finish_onegap(out, ids, D1):
     (b_tsp, b_pk, l_tsp, l_pk, r_tsp, r_pk) = out
     b_v, b_ts, b_te, b_g1s, b_g1e = unpack_family(b_tsp, b_pk)
     l_v, l_ts, l_te, l_g1s, l_g1e, l_og1s, l_og1e = unpack_family(
@@ -689,7 +709,7 @@ def extract_onegap_tpu(index, search1: OneGapSearch, onegap_sa: GapOnSA,
     rules2 = mk([
         (l_v, l_ts, l_te, l_g1s, l_g1e, l_og1s, l_og1e, ids),
         (r_v, r_ts, r_te, r_og1s, r_og1e, r_g2s, r_g2e,
-         len(search1.qrystart) + ids),
+         D1 + ids),
     ])
     return rules1, rules2
 
@@ -727,7 +747,7 @@ def _twogap_batch(refstr, rlp, lr_tar, cs, fe, se, sl, el, cl, offs, mrs):
 
 def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
                        twogap_sa: GapOnSA, cfg: ExtractorConfig,
-                       engine=None) -> GapRules:
+                       engine=None, defer=False):
     if engine is None:
         from cgx_tpu.engine import ReplicatedEngine
         engine = ReplicatedEngine(index, None, cfg)
@@ -743,8 +763,16 @@ def extract_twogap_tpu(index, search1: OneGapSearch, search2: TwoGapSearch,
     els = search1.qryend_len.astype(np.int64)[one_ids] if len(ids) else ids
     cls = search2.qryend_len.astype(np.int64)[ids] if len(ids) else ids
     if len(ids) == 0:
-        return GapRules(*(np.empty(0, np.int32) for _ in range(7)))
-    out = engine.twogap(css, fes, ses, sls, els, cls)
+        res0 = GapRules(*(np.empty(0, np.int32) for _ in range(7)))
+        return (lambda: res0) if defer else res0
+    pend = engine.twogap(css, fes, ses, sls, els, cls, fetch=False)
+
+    def finish():
+        return _finish_twogap(pend.get(), ids)
+    return finish if defer else finish()
+
+
+def _finish_twogap(out, ids):
     v, ts, te, g1s, g1e, g2s, g2e = unpack_family(out[0], out[1],
                                                   two_gaps=True)
     m = v

@@ -52,7 +52,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.search import passes
 from cgx_tpu.types import Pass1Result, Pass2Result
-from cgx_tpu.utils.batching import chunked_batch, pad_items
+from cgx_tpu.utils.batching import Pending, chunked_batch, pad_items
 
 import warnings
 
@@ -441,26 +441,28 @@ class ShardedEngine:
             - np.repeat(cum - counts, counts)
         return item_pat, tx
 
-    def pcs_expanded(self, queries, pc, base, counts, sl, el, tok, stok):
+    def pcs_expanded(self, queries, pc, base, counts, sl, el, tok, stok, fetch=True):
         item_pat, tx = self._materialize(counts)
         row = np.asarray(base, np.int64)[item_pat] + tx
-        return self.pcs(
+        res = self.pcs(
             queries, pc.onegap_start[row], pc.onegap_length[row],
             np.asarray(sl, np.int64)[item_pat].astype(np.int32),
             np.asarray(el, np.int64)[item_pat].astype(np.int32),
             np.asarray(tok, np.int64)[item_pat].astype(np.int32),
             np.asarray(stok, np.int64)[item_pat].astype(np.int32))
+        return res if fetch else Pending(lambda: res)
 
-    def scan_expanded(self, queries, fwd, lo, counts, sl, el, side):
+    def scan_expanded(self, queries, fwd, lo, counts, sl, el, side, fetch=True):
         item_pat, tx = self._materialize(counts)
         gostart = self.sa_values(np.asarray(lo, np.int64)[item_pat] + tx)
         m = self.fwd if fwd else self.bwd
-        return m(queries, gostart,
-                 np.asarray(sl, np.int64)[item_pat].astype(np.int32),
-                 np.asarray(el, np.int64)[item_pat].astype(np.int32),
-                 np.asarray(side, np.int64)[item_pat].astype(np.int32))
+        res = m(queries, gostart,
+                np.asarray(sl, np.int64)[item_pat].astype(np.int32),
+                np.asarray(el, np.int64)[item_pat].astype(np.int32),
+                np.asarray(side, np.int64)[item_pat].astype(np.int32))
+        return res if fetch else Pending(lambda: res)
 
-    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode):
+    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True):
         item_pat, tx = self._materialize(counts)
         row = np.asarray(lo, np.int64)[item_pat] + tx
         pcm = np.asarray(pcmode, bool)[item_pat]
@@ -476,7 +478,8 @@ class ShardedEngine:
         row_pc = np.clip(row, 0, len(pc_sp) - 1)
         css = np.where(pcm, pc_sp[row_pc], og_sp[row_sa])
         fes = np.where(pcm, pc_len[row_pc], og_len[row_sa])
-        return self.two(css.astype(np.int32), fes.astype(np.int32))
+        res = self.two(css.astype(np.int32), fes.astype(np.int32))
+        return res if fetch else Pending(lambda: res)
 
     # -- lookup kernels ----------------------------------------------------
     def fwd(self, queries, gostart, sl, el, stok):
@@ -538,7 +541,7 @@ class ShardedEngine:
                                  [(), ()])
 
     # -- extraction kernels ------------------------------------------------
-    def contig(self, sa_pos, lm):
+    def contig(self, sa_pos, lm, fetch=True):
         from cgx_tpu.extract.device import _contig_batch_pos
         cfg = self.cfg
         cs_all = self.sa_values(np.asarray(sa_pos, np.int32))
@@ -551,11 +554,11 @@ class ShardedEngine:
                                              offs, cfg.max_rule_span,
                                              cfg.max_rule_symbols),
                 [c, l])
-        return self._partitioned(cs_all, [cs_all,
-                                          np.asarray(lm, np.int32)],
-                                 run_one, [()] * 8)
+        res = self._partitioned(cs_all, [cs_all, np.asarray(lm, np.int32)],
+                                run_one, [()] * 8)
+        return res if fetch else Pending(lambda: res)
 
-    def onegap(self, css, fes, sls, els):
+    def onegap(self, css, fes, sls, els, fetch=True):
         from cgx_tpu.extract.device import _onegap_batch
         cfg = self.cfg
 
@@ -567,10 +570,10 @@ class ShardedEngine:
                                          cfg.max_rule_span,
                                          cfg.max_rule_symbols),
                 list(its))
-        return self._partitioned(css, [css, fes, sls, els], run_one,
-                                 [()] * 6)
+        res = self._partitioned(css, [css, fes, sls, els], run_one, [()] * 6)
+        return res if fetch else Pending(lambda: res)
 
-    def twogap(self, css, fes, ses, sls, els, cls):
+    def twogap(self, css, fes, ses, sls, els, cls, fetch=True):
         from cgx_tpu.extract.device import _twogap_batch
         cfg = self.cfg
 
@@ -581,5 +584,6 @@ class ShardedEngine:
                                          *(jnp.asarray(v) for v in x), offs,
                                          cfg.max_rule_span),
                 list(its))
-        return self._partitioned(css, [css, fes, ses, sls, els, cls],
-                                 run_one, [()] * 2)
+        res = self._partitioned(css, [css, fes, ses, sls, els, cls],
+                                run_one, [()] * 2)
+        return res if fetch else Pending(lambda: res)

@@ -175,13 +175,16 @@ def _front_stages(ctx, queries, cfg, t):
         blocks = generate_blocks(sa, queries, p1, p2,
                                  sa_values=ctx["sa_values"])
     with t.phase("extractkernel"):
-        contig, og_blocks, tg_blocks = xdev.extract_contiguous_tpu(
-            index, blocks, cfg, engine=engine)
-        tg_seeds = xdev.extract_twogap_tpu(index, search1, search2, twogap_sa,
-                                           cfg, engine=engine)
-        og_seeds, tg_onegap = xdev.extract_onegap_tpu(index, search1,
-                                                      onegap_sa, pc, cfg,
-                                                      engine=engine)
+        # dispatch all three kernels, then fetch: the round-trips overlap
+        fin_c = xdev.extract_contiguous_tpu(index, blocks, cfg, engine=engine,
+                                            defer=True)
+        fin_t = xdev.extract_twogap_tpu(index, search1, search2, twogap_sa,
+                                        cfg, engine=engine, defer=True)
+        fin_o = xdev.extract_onegap_tpu(index, search1, onegap_sa, pc, cfg,
+                                        engine=engine, defer=True)
+        contig, og_blocks, tg_blocks = fin_c()
+        tg_seeds = fin_t()
+        og_seeds, tg_onegap = fin_o()
     sep_onegap = len(og_blocks.gappy_index)
     rules1 = _concat_gaprules(og_blocks, og_seeds)
     sep1 = len(tg_blocks.gappy_index)

@@ -285,24 +285,19 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         rows_parts.append(np.stack([
             ref_ids, pci[ref_ids], np.zeros(len(ref_ids), dtype=np.int64)], axis=1))
 
-    # 2) precomp-seeded verification items
+    # 2+3) dispatch the precomp-seed verification AND both scan directions
+    # before fetching anything: the three groups are independent, so their
+    # relay round-trips overlap with each other's device work
     seed_ids = np.flatnonzero(pc_seed)
+    pcs_job = None
     if len(seed_ids):
-        counts = (pc_dis[seed_ids] + 1).clip(min=0)
-        (ok,) = engine.pcs_expanded(
+        counts_s = (pc_dis[seed_ids] + 1).clip(min=0)
+        pend = engine.pcs_expanded(
             queries, pc, pc.index_start[pci[seed_ids]].astype(np.int64),
-            counts, sl_all[seed_ids], el_all[seed_ids], tok_all[seed_ids],
-            stok_all[seed_ids])
-        hit = np.flatnonzero(np.asarray(ok, bool))
-        if len(hit):
-            pat, tx, _ = expand_hits(hit, counts, seed_ids)
-            row = pc.index_start[pci[pat]] + tx
-            spos = pc.onegap_start[row].astype(np.int64) - sl_all[pat] + 1
-            length = pc.onegap_length[row].astype(np.int64) \
-                + sl_all[pat] - 1 + el_all[pat] - 1
-            rows_parts.append(np.stack([pat, spos, length], axis=1))
-
-    # 3) forward / backward scans
+            counts_s, sl_all[seed_ids], el_all[seed_ids], tok_all[seed_ids],
+            stok_all[seed_ids], fetch=False)
+        pcs_job = (counts_s, pend)
+    scan_jobs = []
     for fwd in (True, False):
         ids = np.flatnonzero(~has_pc & (use_fwd == fwd))
         if not len(ids):
@@ -310,8 +305,24 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         lo = np.where(fwd, r1u, r2u)[ids]
         counts = (np.where(fwd, dis1, dis2)[ids] + 1).clip(min=0)
         side = (stok_all if fwd else tok_all)[ids]
-        (mask,) = engine.scan_expanded(queries, fwd, lo, counts,
-                                       sl_all[ids], el_all[ids], side)
+        pend = engine.scan_expanded(queries, fwd, lo, counts, sl_all[ids],
+                                    el_all[ids], side, fetch=False)
+        scan_jobs.append((fwd, ids, lo, counts, pend))
+
+    if pcs_job is not None:
+        counts_s, pend = pcs_job
+        (ok,) = pend.get()
+        hit = np.flatnonzero(np.asarray(ok, bool))
+        if len(hit):
+            pat, tx, _ = expand_hits(hit, counts_s, seed_ids)
+            row = pc.index_start[pci[pat]] + tx
+            spos = pc.onegap_start[row].astype(np.int64) - sl_all[pat] + 1
+            length = pc.onegap_length[row].astype(np.int64) \
+                + sl_all[pat] - 1 + el_all[pat] - 1
+            rows_parts.append(np.stack([pat, spos, length], axis=1))
+
+    for fwd, ids, lo, counts, pend in scan_jobs:
+        (mask,) = pend.get()
         ii, mm = np.nonzero(
             (mask[:, None].astype(np.int64) >> np.arange(MMOV)) & 1)
         if not len(ii):

@@ -73,8 +73,25 @@ def chunk_plan(n: int, chunk: int = CHUNK):
     return sizes
 
 
+class Pending:
+    """Deferred fetch of async dispatches: ``.get()`` blocks, transfers, and
+    concatenates.  Lets callers dispatch several independent kernel groups
+    before paying any round-trip (the relay RTT then overlaps device work)."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._res = None
+        self._done = False
+
+    def get(self):
+        if not self._done:
+            self._res = self._fn()
+            self._done = True
+        return self._res
+
+
 def chunked_indices(call, n_items: int, chunk: int = CHUNK,
-                    item_div: int = 1):
+                    item_div: int = 1, fetch: bool = True):
     """Like ``chunked_batch`` but with NO per-item host arrays at all: the
     device program generates its own item indices.  ``call(start, n)`` must
     run items ``start .. start+n`` (n is a static power of two; indices past
@@ -94,15 +111,17 @@ def chunked_indices(call, n_items: int, chunk: int = CHUNK,
             else bucket_size(ni)
         pending.append((call(s, n_call), ni))
         s += ni
-    if not pending:
-        return None
-    parts = [[np.asarray(x)[: -(-ni // item_div)]
-              for x in jax.device_get(res)]
-             for res, ni in pending]
-    return [np.concatenate(cols) for cols in zip(*parts)]
+    def _finish():
+        if not pending:
+            return None
+        parts = [[np.asarray(x)[: -(-ni // item_div)]
+                  for x in jax.device_get(res)]
+                 for res, ni in pending]
+        return [np.concatenate(cols) for cols in zip(*parts)]
+    return _finish() if fetch else Pending(_finish)
 
 
-def chunked_batch(call, arrays, chunk: int = CHUNK):
+def chunked_batch(call, arrays, chunk: int = CHUNK, fetch: bool = True):
     """Run ``call(*padded_arrays) -> tuple/list of outputs with leading item axis``
     over pow2-sized chunks of the item axis; returns concatenated outputs sliced
     to the real length.  Dispatches are asynchronous (fetched together at the end),
@@ -117,8 +136,11 @@ def chunked_batch(call, arrays, chunk: int = CHUNK):
         s += ni
         _, *padded = pad_items(*piece)
         pending.append((call(*padded), ni))   # async dispatch; fetch later
-    if not pending:
-        return None
-    parts = [[np.asarray(x)[:ni] for x in jax.device_get(res)]
-             for res, ni in pending]
-    return [np.concatenate(cols) for cols in zip(*parts)]
+
+    def _finish():
+        if not pending:
+            return None
+        parts = [[np.asarray(x)[:ni] for x in jax.device_get(res)]
+                 for res, ni in pending]
+        return [np.concatenate(cols) for cols in zip(*parts)]
+    return _finish() if fetch else Pending(_finish)

@@ -150,47 +150,6 @@ class ReplicatedEngine:
                 ((comb >> 16) & 0xFFFF).astype(np.int64)
         return _post() if fetch else Pending(_post)
 
-    def fwd(self, queries, gostart, sl, el, stok):
-        from cgx_tpu.search.lookup import _fwd_batch
-        ix, cfg = self.index, self.cfg
-        return chunked_batch(
-            lambda *a: _fwd_batch(
-                ix.refstr_padded, ix.rlp, ix.lr_tar,
-                ix.device_query_tokens(queries),
-                *(jnp.asarray(x) for x in a), ix.offs0,
-                cfg.max_rule_span, cfg.min_gap_size),
-            [gostart, sl, el, stok])
-
-    def bwd(self, queries, gostart, sl, el, tok):
-        from cgx_tpu.search.lookup import _bwd_batch
-        ix, cfg = self.index, self.cfg
-        return chunked_batch(
-            lambda *a: _bwd_batch(
-                ix.refstr_padded, ix.rlp, ix.lr_tar,
-                ix.device_query_tokens(queries),
-                *(jnp.asarray(x) for x in a), ix.offs0,
-                cfg.max_rule_span, cfg.min_gap_size),
-            [gostart, sl, el, tok])
-
-    def pcs(self, queries, pstart, plen, sl, el, tok, stok):
-        from cgx_tpu.search.lookup import _pcs_batch
-        ix, cfg = self.index, self.cfg
-        return chunked_batch(
-            lambda *a: _pcs_batch(
-                ix.refstr_padded, ix.device_query_tokens(queries),
-                *(jnp.asarray(x) for x in a), ix.offs0, cfg.max_rule_span),
-            [pstart, plen, sl, el, tok, stok])
-
-    def two(self, pstart, plen):
-        from cgx_tpu.search.lookup import _two_batch
-        ix, cfg = self.index, self.cfg
-        return chunked_batch(
-            lambda *a: _two_batch(
-                ix.refstr_padded, ix.rlp, ix.lr_tar,
-                *(jnp.asarray(x) for x in a), ix.offs0,
-                cfg.max_rule_span, cfg.min_gap_size),
-            [pstart, plen])
-
     def contig(self, sa_pos, lm, fetch=True):
         from cgx_tpu.extract.device import _contig_batch
         ix, cfg = self.index, self.cfg

@@ -28,7 +28,7 @@ import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.extract.blocks import occurrence_lists, sample_indices
-from cgx_tpu.utils.batching import chunked_batch, pad_items
+from cgx_tpu.utils.batching import chunked_batch
 from cgx_tpu.utils.views import make_views
 from cgx_tpu.types import Blocks, ContigRules, GapOnSA, GapRules, OneGapSearch, Precomp, TwoGapSearch
 

@@ -30,7 +30,6 @@ from cgx_tpu.extract.blocks import generate_blocks
 from cgx_tpu.features import lexicon as lx
 from cgx_tpu.features import maxlex as ml
 from cgx_tpu.grammar import writer as gw
-from cgx_tpu.oracle import search as ose
 from cgx_tpu.search import enumerate_fast as ef
 from cgx_tpu.types import GapRules
 from cgx_tpu.preproc import index_io

@@ -24,7 +24,7 @@ import numpy as np
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.types import GapOnSA, OneGapSearch, Precomp, TwoGapSearch
 from cgx_tpu.engine import expand_hits
-from cgx_tpu.utils.batching import chunked_batch, pad_items
+from cgx_tpu.utils.batching import chunked_batch
 from cgx_tpu.utils.views import make_views
 
 MMOV = 16  # static move-axis width; real moves bounded by max_rule_span - 2

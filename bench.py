@@ -85,6 +85,8 @@ def main():
                     help="measured repetitions; best query-path time wins")
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--query-batches", type=int, default=0,
+                    help="run the pipeline-overlap mode with B query batches")
     ap.add_argument("--index-dir", default=None,
                     help="persist/load the corpus index (amortizes the "
                          "one-time build across reps; default: a per-size "
@@ -113,11 +115,17 @@ def main():
     if index_dir is None and args.size in ("large", "europarl"):
         index_dir = f"/tmp/cgx_bench_index_{args.size}"
 
+    def run_once():
+        if args.query_batches > 1:
+            return tpl.run_pipeline_overlap(*data, cfg, index_dir=index_dir,
+                                            query_batches=args.query_batches)
+        return tpl.run_pipeline(*data, cfg, index_dir=index_dir)
+
     warmup_s = -1.0
     if not args.no_warmup:
         print("bench: warmup run (compile)", file=sys.stderr)
         t0 = time.perf_counter()
-        tpl.run_pipeline(*data, cfg, index_dir=index_dir)
+        run_once()
         warmup_s = time.perf_counter() - t0
         print(f"bench: warmup {warmup_s:.1f}s", file=sys.stderr)
 
@@ -126,7 +134,7 @@ def main():
     best = None
     for rep in range(args.reps):
         t0 = time.perf_counter()
-        r = tpl.run_pipeline(*data, cfg, index_dir=index_dir)
+        r = run_once()
         w = time.perf_counter() - t0
         b = r.timing.as_dict()
         ot = sum(b.get(k, 0) for k in ONE_TIME_PHASES)

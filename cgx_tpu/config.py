@@ -52,6 +52,18 @@ class ExtractorConfig:
     cap_twogap_sa: int = 60_000_000
     cap_precomp: int = 60_000_000
 
+    def __post_init__(self):
+        # The device kernels' static widths (move axis MMOV=16, growth depth
+        # IMAX=14, span windows CWID=16, 4-bit packed emission offsets) are
+        # sized for the reference's MAX_rule_span=15 (ComTypes.h:42).  Larger
+        # spans would silently truncate — refuse instead.
+        if not (1 <= self.max_rule_span <= 15):
+            raise ValueError(
+                f"max_rule_span={self.max_rule_span} unsupported: the static "
+                "kernel widths are sized for the reference's bound (<= 15)")
+        if self.max_rule_span_pattern > self.max_rule_span:
+            raise ValueError("max_rule_span_pattern must be <= max_rule_span")
+
     @property
     def twogap_limit_symbols(self) -> int:
         """Symbol budget for the aXbXc tail c (SuffixArray.cu:840-850).

@@ -7,15 +7,29 @@ plus NULL, and vice versa, via binary search of the sorted lexical table
 reference's exact sequential float32 rounding order, so features are bit-identical
 to the oracle.
 
-The probe set is T rules x 5 source words x 16 target positions of int64 keys
-against a sorted table — a few MB of batched ``np.searchsorted``, far below the
-cost of a device dispatch, so this stage runs vectorized on the host (the one
-reference kernel whose arithmetic density never justifies the chip; everything
-around it stays on device).
+Two probe backends produce the per-rule best-probability tables (bit-equal float32
+values either way — gathers and maxes are exact):
+
+* **device** (default when the index is device-resident and the batch is large):
+  the probe set — T rules x 5 source words x 16 target positions against the
+  sorted table — runs on the chip as a 32-step branchless lexicographic binary
+  search over resident int32 (src, tgt) columns; only the [T,5]+[T,16] float32
+  best tables come back.  On a few-core host the equivalent numpy pass is memory-
+  bound (~1 GB of temporaries at T~10^5), so the chip wins well before that scale.
+* **host** (CPU fallback / sharded-index mode / small batches): dense per-direction
+  probability matrices indexed directly when the (src, tgt) id space is small,
+  batched ``np.searchsorted`` over packed int64 keys otherwise.
+
+The ``-log10`` accumulation (the only order-sensitive float32 arithmetic) always
+runs on the host in the reference's sequential order.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
@@ -23,6 +37,9 @@ from cgx_tpu.index.container import pack_lex_key
 
 TPOSW = 16   # target span width (end offset < max_rule_span)
 SRCW = 5     # max source words (MAX_rule_symbols)
+
+# below this many rules the dispatch round trip beats the host numpy pass
+DEVICE_MIN_T = 4096
 
 
 def _lookup(lex_key, lex_val, keys):
@@ -36,48 +53,172 @@ def _lookup(lex_key, lex_val, keys):
 DENSE_LIMIT = 1 << 26  # max dense-matrix entries (256 MB of float32)
 
 
-def _make_lookup(lex_key, lex_vals):
-    """Probe function (val_index, keys) -> float32 values.
+def _probe_bests_host(lex_key, lex_val1, lex_val2, src_pat, ttok, tmask,
+                      any_t):
+    """(fge_best [T,SRCW], egf_best [T,TPOSW]) on the host.
 
-    When the (src, tgt) id space is small enough, the sorted-table binary
-    search collapses to direct indexing into dense per-direction probability
-    matrices (identical values: first table row wins on duplicate pairs, like
-    searchsorted); otherwise falls back to batched searchsorted."""
+    Dense path: direct int32 row/column indexing into per-direction probability
+    matrices — no packed int64 key temporaries (at T~10^5 the key pack plus its
+    unpacks cost ~3x the gather itself on a memory-bound host).  Identical
+    values: first table row wins on duplicate pairs, like searchsorted."""
     n = len(lex_key)
+    dense = False
     if n:
         src = (lex_key >> 32).astype(np.int64)
         tgt = (lex_key & 0xFFFFFFFF).astype(np.int64) - 2**31
-        si = src + 1
-        ti = tgt + 1
-        ns = int(si.max()) + 1
-        nt = int(ti.max()) + 1
-        if ns * nt <= DENSE_LIMIT:
-            mats = []
-            for v in lex_vals:
-                M = np.zeros((ns, nt), dtype=np.float32)
-                M[si[::-1], ti[::-1]] = np.asarray(v, np.float32)[::-1]
-                mats.append(M)
+        si_t = src + 1
+        ti_t = tgt + 1
+        ns = int(si_t.max()) + 1
+        nt = int(ti_t.max()) + 1
+        dense = ns * nt <= DENSE_LIMIT
+    if dense:
+        M1 = np.zeros((ns, nt), dtype=np.float32)
+        M2 = np.zeros((ns, nt), dtype=np.float32)
+        M1[si_t[::-1], ti_t[::-1]] = np.asarray(lex_val1, np.float32)[::-1]
+        M2[si_t[::-1], ti_t[::-1]] = np.asarray(lex_val2, np.float32)[::-1]
+        si = src_pat.astype(np.int32) + 1                       # [T, 5]
+        ti = ttok.astype(np.int32) + 1                          # [T, 16]
+        oks = (si >= 0) & (si < ns)                             # src id known
+        okt = (ti >= 0) & (ti < nt)
+        sic = np.where(oks, si, 0)
+        tic = np.where(okt, ti, 0)
+        okb = oks[:, :, None] & okt[:, None, :]
+        z = np.float32(0)
+        v2 = np.where(okb, M2[sic[:, :, None], tic[:, None, :]], z)
+        fge_best = np.max(np.where(tmask[:, None, :], v2, z), axis=2)
+        v2null = np.where(oks, M2[sic, 0], z)                   # tgt NULL = col 0
+        fge_best = np.where(any_t[:, None], np.maximum(fge_best, v2null),
+                            fge_best)
+        v1 = np.where(okb, M1[sic[:, :, None], tic[:, None, :]], z)
+        egf_best = np.max(np.where(oks[:, :, None], v1, z), axis=1)
+        v1null = np.where(okt, M1[0, tic], z)                   # src NULL = row 0
+        egf_best = np.maximum(egf_best, v1null)
+        return fge_best, egf_best
 
-            def lk(vi, keys):
-                s = (keys >> 32) + 1
-                t = (keys & 0xFFFFFFFF) - 2**31 + 1
-                ok = (s >= 0) & (s < ns) & (t >= 0) & (t < nt)
-                return np.where(
-                    ok, mats[vi][np.clip(s, 0, ns - 1),
-                                 np.clip(t, 0, nt - 1)],
-                    np.float32(0)).astype(np.float32)
-            return lk
+    sp = src_pat.astype(np.int64)
+    tt = ttok.astype(np.int64)
+    keys = pack_lex_key(sp[:, :, None], tt[:, None, :])         # [T, 5, 16]
+    v2 = _lookup(lex_key, lex_val2, keys)                       # P(t|s) side
+    v1 = _lookup(lex_key, lex_val1, keys)                       # P(s|t) side
+    v2null = _lookup(lex_key, lex_val2, pack_lex_key(sp, np.full_like(sp, -1)))
+    v1null = _lookup(lex_key, lex_val1, pack_lex_key(np.full_like(tt, -1), tt))
+    fge_best = np.max(np.where(tmask[:, None, :], v2, np.float32(0)), axis=2)
+    fge_best = np.where(any_t[:, None], np.maximum(fge_best, v2null), fge_best)
+    src_valid = src_pat >= -1  # padded entries are -99
+    egf_best = np.max(np.where(src_valid[:, :, None], v1, np.float32(0)),
+                      axis=1)
+    egf_best = np.maximum(egf_best, v1null)
+    return fge_best, egf_best
 
-    def lk(vi, keys):
-        return _lookup(lex_key, lex_vals[vi], keys)
-    return lk
+
+# ---------------------------------------------------------------------------
+# Device probe: branchless lower-bound binary search over the sorted (src, tgt)
+# int32 columns (the packed-int64 order is the (src, tgt) lexicographic order,
+# so comparing components needs no x64 mode).  Gathers and maxes are exact, so
+# the returned float32 bests are bit-equal to the host backends.
+# ---------------------------------------------------------------------------
+
+
+def _pair_lookup(ls, lt, lv, s, t, steps: int):
+    """value at lexicographic (s, t) or 0.0; ls/lt sorted, padded with INT32_MAX
+    (padding never matches a real probe).  Broadcasts over probe shape."""
+    n = ls.shape[0]
+    lo = jnp.zeros(s.shape, jnp.int32)
+    hi = jnp.full(s.shape, n, jnp.int32)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        ms = ls[mid]
+        mt = lt[mid]
+        less = (ms < s) | ((ms == s) & (mt < t))   # key[mid] < probe
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    loc = jnp.minimum(lo, n - 1)
+    found = (lo < n) & (ls[loc] == s) & (lt[loc] == t)
+    return jnp.where(found, lv[loc], jnp.float32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _probe_batch_dev(ls, lt, lv1, lv2, tgt_str, sp, t0, tend, g1, g11, g2, g21,
+                     steps):
+    pos = t0[:, None] + jnp.arange(TPOSW, dtype=jnp.int32)[None, :]
+    ttok = tgt_str[jnp.clip(pos, 0, tgt_str.shape[0] - 1)]
+    inside = pos <= (t0 + tend)[:, None]
+    out1 = (g1 < 0)[:, None] | (pos < (t0 + g1)[:, None]) | \
+        (pos > (t0 + g11)[:, None])
+    out2 = (g2 < 0)[:, None] | (pos < (t0 + g2)[:, None]) | \
+        (pos > (t0 + g21)[:, None])
+    tmask = inside & out1 & out2
+    any_t = tmask.any(axis=1)
+    s3 = sp[:, :, None]                              # [T, 5, 1]
+    t3 = ttok[:, None, :]                            # [T, 1, 16]
+    z = jnp.float32(0)
+    v2 = _pair_lookup(ls, lt, lv2, s3, t3, steps)    # [T, 5, 16]
+    fge_best = jnp.max(jnp.where(tmask[:, None, :], v2, z), axis=2)
+    v2null = _pair_lookup(ls, lt, lv2, sp, jnp.full_like(sp, -1), steps)
+    fge_best = jnp.where(any_t[:, None], jnp.maximum(fge_best, v2null),
+                         fge_best)
+    v1 = _pair_lookup(ls, lt, lv1, s3, t3, steps)
+    src_valid = sp >= -1
+    egf_best = jnp.max(jnp.where(src_valid[:, :, None], v1, z), axis=1)
+    v1null = _pair_lookup(ls, lt, lv1, jnp.full_like(ttok, -1), ttok, steps)
+    egf_best = jnp.maximum(egf_best, v1null)
+    return fge_best, egf_best
+
+
+def _device_lex_tables(index):
+    """Cached device-resident (src, tgt, val1, val2, steps) for the probe,
+    padded to a power of two with INT32_MAX sentinels (shape-stable programs)."""
+    cached = getattr(index, "_maxlex_dev", None)
+    if cached is not None:
+        return cached
+    from cgx_tpu.utils.batching import bucket_size
+
+    lex_key = index.lex_key
+    src = (lex_key >> 32).astype(np.int32)
+    tgt = ((lex_key & 0xFFFFFFFF) - 2**31).astype(np.int32)
+    n = len(src)
+    m = bucket_size(max(n, 1))
+    imax = np.int32(np.iinfo(np.int32).max)
+    ls = np.full(m, imax, np.int32)
+    lt = np.full(m, imax, np.int32)
+    lv1 = np.zeros(m, np.float32)
+    lv2 = np.zeros(m, np.float32)
+    ls[:n] = src
+    lt[:n] = tgt
+    lv1[:n] = np.asarray(index.lex_val1_host, np.float32)
+    lv2[:n] = np.asarray(index.lex_val2_host, np.float32)
+    steps = max(int(m).bit_length(), 1)
+    out = (jnp.asarray(ls), jnp.asarray(lt), jnp.asarray(lv1),
+           jnp.asarray(lv2), steps)
+    try:
+        index._maxlex_dev = out
+    except Exception:   # frozen containers: rebuild per call (still cheap)
+        pass
+    return out
+
+
+def _probe_bests_device(index, src_pat, t0, tend, g1, g11, g2, g21):
+    """Chip probe: uploads the [T]-column task arrays, returns the best tables.
+    The target string and lexical table are device-resident."""
+    from cgx_tpu.utils.batching import chunked_batch
+
+    ls, lt, lv1, lv2, steps = _device_lex_tables(index)
+    tgt_dev = index.tgt_str
+    cols = [np.ascontiguousarray(src_pat, np.int32)] + [
+        np.asarray(a, np.int32) for a in (t0, tend, g1, g11, g2, g21)]
+    out = chunked_batch(
+        lambda *a: _probe_batch_dev(ls, lt, lv1, lv2, tgt_dev, *a,
+                                    steps=steps), cols)
+    return out[0], out[1]
 
 
 def compute_maxlex_tpu(task_arrays: dict, index, rules_one, rules_two,
-                       rules_contig, cfg: ExtractorConfig):
+                       rules_contig, cfg: ExtractorConfig,
+                       use_device: bool = None):
     """Scores the families' TaskArrays, accumulates in reference float32 order,
     scatters into the rules (row d of a family's TaskArrays is its distinct
-    rule d)."""
+    rule d).  ``use_device`` overrides the backend choice (None = device when
+    the index is device-resident and the batch is large enough)."""
     by_kind = {"onegap": rules_one, "twogap": rules_two, "contig": rules_contig}
     kinds = [k for k in ("onegap", "twogap", "contig")
              if len(task_arrays[k].t0)]
@@ -95,8 +236,6 @@ def compute_maxlex_tpu(task_arrays: dict, index, rules_one, rules_two,
 
     tgt_str = index.tgt_str_host
     lex_key = index.lex_key
-    lex_val1 = index.lex_val1_host
-    lex_val2 = index.lex_val2_host
 
     pos = t0[:, None] + np.arange(TPOSW, dtype=np.int64)[None, :]
     inside = pos <= (t0 + tend)[:, None]
@@ -105,23 +244,21 @@ def compute_maxlex_tpu(task_arrays: dict, index, rules_one, rules_two,
     out2 = (g2 < 0)[:, None] | (pos < (t0 + g2)[:, None]) | \
         (pos > (t0 + g21)[:, None])
     tmask = inside & out1 & out2
-    ttok = tgt_str[np.clip(pos, 0, len(tgt_str) - 1)].astype(np.int64)
     any_t = tmask.any(axis=1)
 
-    sp = src_pat.astype(np.int64)
-    keys = pack_lex_key(sp[:, :, None], ttok[:, None, :])        # [T, 5, 16]
-    lk = _make_lookup(lex_key, (lex_val1, lex_val2))
-    v2 = lk(1, keys)                                             # P(t|s) side
-    v1 = lk(0, keys)                                             # P(s|t) side
-    v2null = lk(1, pack_lex_key(sp, np.full_like(sp, -1)))       # [T, 5]
-    v1null = lk(0, pack_lex_key(np.full_like(ttok, -1), ttok))   # [T, 16]
-
-    fge_best = np.max(np.where(tmask[:, None, :], v2, np.float32(0)), axis=2)
-    fge_best = np.where(any_t[:, None], np.maximum(fge_best, v2null), fge_best)
-    src_valid = src_pat >= -1  # padded entries are -99
-    egf_best = np.max(np.where(src_valid[:, :, None], v1, np.float32(0)),
-                      axis=1)
-    egf_best = np.maximum(egf_best, v1null)
+    if use_device is None:
+        use_device = (getattr(index, "tgt_str", None) is not None
+                      and T >= DEVICE_MIN_T)
+    if use_device:
+        fge_best, egf_best = _probe_bests_device(index, src_pat, t0, tend,
+                                                 g1, g11, g2, g21)
+        fge_best = np.asarray(fge_best)
+        egf_best = np.asarray(egf_best)
+    else:
+        ttok = tgt_str[np.clip(pos, 0, len(tgt_str) - 1)].astype(np.int64)
+        fge_best, egf_best = _probe_bests_host(
+            lex_key, index.lex_val1_host, index.lex_val2_host, src_pat, ttok,
+            tmask, any_t)
 
     maxscore = np.float32(cfg.max_score)
     fge = np.zeros(T, dtype=np.float32)

@@ -216,7 +216,8 @@ def _back_stages(ctx, queries, fr, cfg, t):
     with t.phase("maxlex"):
         ml.compute_maxlex_tpu(
             {"onegap": tasks_one, "twogap": tasks_two, "contig": tasks_contig},
-            lex_index, rules_one, rules_two, rules_contig, cfg)
+            lex_index, rules_one, rules_two, rules_contig, cfg,
+            use_device=ctx.get("maxlex_use_device"))
 
     with t.phase("printout"):
         G = len(blocks.start)
@@ -271,6 +272,9 @@ def run_pipeline_overlap(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     B = max(1, min(query_batches, len(all_q)))
     per = -(-len(all_q) // B)
     chunks = [all_q[i:i + per] for i in range(0, len(all_q), per)]
+    # the back half runs on a worker thread and must stay numpy-only (the main
+    # thread owns all device dispatch), so MaxLex keeps its host backend here
+    ctx["maxlex_use_device"] = False
     futs = []
     qsets = []
     with ThreadPoolExecutor(max_workers=1) as pool:

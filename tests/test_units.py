@@ -82,3 +82,76 @@ def test_chunked_indices_item_div():
     (words,) = chunked_indices(call, N, chunk=16384, item_div=32)
     got = ((np.asarray(words)[:, None] >> np.arange(32)) & 1).ravel()[:N]
     np.testing.assert_array_equal(got, (np.arange(N) % 5 == 0).astype(int))
+
+
+def test_maxlex_device_probe_matches_host():
+    # the chip probe (lexicographic pair binary search + masked maxes) must be
+    # bit-equal to both host backends (dense direct-index and searchsorted)
+    from cgx_tpu.features import maxlex as ml
+    from cgx_tpu.features.lexicon import TaskArrays
+    from cgx_tpu.config import DEFAULT_CONFIG
+    from cgx_tpu.index.container import pack_lex_key
+
+    rng = np.random.default_rng(7)
+    NS, NT, LEX = 50, 60, 400
+    keys = np.unique(pack_lex_key(
+        rng.integers(-1, NS, LEX), rng.integers(-1, NT, LEX)))
+
+    class Ix:
+        pass
+
+    ix = Ix()
+    ix.lex_key = keys
+    ix.lex_val1_host = rng.random(len(keys)).astype(np.float32)
+    ix.lex_val2_host = rng.random(len(keys)).astype(np.float32)
+    tgt = rng.integers(2, NT, 5000).astype(np.int32)
+    ix.tgt_str_host = tgt
+    ix.tgt_str = jnp.asarray(tgt)
+
+    T = 700
+    sp = rng.integers(-1, NS + 5, (T, 5)).astype(np.int32)
+    sp[np.arange(5)[None, :] >= rng.integers(1, 6, T)[:, None]] = -99
+    t0 = rng.integers(0, len(tgt) - 2, T).astype(np.int32)
+    tend = rng.integers(0, 15, T).astype(np.int32)
+    g1 = np.where(rng.random(T) < 0.5, rng.integers(0, 8, T), -1).astype(np.int32)
+    g11 = np.where(g1 >= 0, g1 + rng.integers(0, 4, T), -1).astype(np.int32)
+    g2 = np.where((g1 >= 0) & (rng.random(T) < 0.3),
+                  g11 + 1 + rng.integers(0, 4, T), -1).astype(np.int32)
+    g21 = np.where(g2 >= 0, g2 + rng.integers(0, 3, T), -1).astype(np.int32)
+    ta = {"onegap": TaskArrays(src_pat=sp, t0=t0, tend=tend, g1=g1, g11=g11,
+                               g2=g2, g21=g21),
+          "twogap": ml_empty(), "contig": ml_empty()}
+
+    class RT:
+        def __init__(self, n):
+            self.max_lex_fge = np.zeros(n, np.float32)
+            self.max_lex_egf = np.zeros(n, np.float32)
+
+        def __len__(self):
+            return len(self.max_lex_fge)
+
+    outs = {}
+    for name, dev in (("host_dense", False), ("device", True)):
+        r = RT(T)
+        ml.compute_maxlex_tpu(ta, ix, r, RT(0), RT(0), DEFAULT_CONFIG,
+                              use_device=dev)
+        outs[name] = (r.max_lex_fge.copy(), r.max_lex_egf.copy())
+    old = ml.DENSE_LIMIT
+    try:
+        ml.DENSE_LIMIT = 0          # force the searchsorted host backend
+        r = RT(T)
+        ml.compute_maxlex_tpu(ta, ix, r, RT(0), RT(0), DEFAULT_CONFIG,
+                              use_device=False)
+        outs["host_sparse"] = (r.max_lex_fge.copy(), r.max_lex_egf.copy())
+    finally:
+        ml.DENSE_LIMIT = old
+    for name in ("device", "host_sparse"):
+        np.testing.assert_array_equal(outs["host_dense"][0], outs[name][0])
+        np.testing.assert_array_equal(outs["host_dense"][1], outs[name][1])
+
+
+def ml_empty():
+    from cgx_tpu.features.lexicon import TaskArrays
+    z = np.empty(0, np.int32)
+    return TaskArrays(src_pat=np.empty((0, 5), np.int32), t0=z, tend=z,
+                      g1=z, g11=z, g2=z, g21=z)

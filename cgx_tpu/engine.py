@@ -19,8 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from cgx_tpu.utils.batching import (Pending, chunked_batch,
-                                    chunked_indices)
+from cgx_tpu.utils.batching import Pending, chunked_batch
 
 # dispatch chunk sizes for the expanded lookup kernels: their per-item device
 # temps are tiny (scalars / one MMOV window), so much larger chunks than the
@@ -34,6 +33,20 @@ def _offsets(counts) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
 
+def materialize_items(counts):
+    """Flat work-item list from per-pattern counts: (item_pat, tx) where
+    ``item_pat[i]`` is item i's pattern index and ``tx[i]`` its occurrence
+    offset within that pattern.  Vectorized np.repeat/cumsum — cheap relative
+    to deriving (pattern, tx) on device (a count-prefix binary search costs
+    ~log2(D) gathered words per item at the chip's gather rate)."""
+    counts = np.asarray(counts, np.int64)
+    item_pat = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    cum = np.cumsum(counts)
+    tx = np.arange(len(item_pat), dtype=np.int64) \
+        - np.repeat(cum - counts, counts)
+    return item_pat, tx
+
+
 def expand_hits(hit_idx, counts, ids=None):
     """Map flat item indices back to (pattern, tx) using the count prefix.
     ``ids`` optionally maps local pattern index -> caller pattern id."""
@@ -44,105 +57,155 @@ def expand_hits(hit_idx, counts, ids=None):
     return pat, tx, pi
 
 
-def _pad1(a) -> np.ndarray:
-    """Bucket-padded row table (clip-safe gathers, shape-stable programs)."""
-    from cgx_tpu.utils.batching import pad_tokens
-    a = np.asarray(a, np.int32)
-    if not len(a):
-        a = np.zeros(1, np.int32)
-    return pad_tokens(a, np.int32(0))
-
-
-def _pad_pat(a, edge=False) -> np.ndarray:
-    """Bucket-padded per-pattern array; ``edge`` repeats the final value
-    (required for the monotone count prefix)."""
-    from cgx_tpu.utils.batching import pad_tokens
-    a = np.ascontiguousarray(a)
-    fill = a[-1] if (edge and len(a)) else 0
-    return pad_tokens(a, a.dtype.type(fill))
-
 
 class ReplicatedEngine:
     """Single-device dispatch against a fully-resident GrammarIndex.
 
-    The lookup stages use the ``*_expanded`` entry points: per-pattern arrays
-    upload, the multi-million-item work list materializes ON DEVICE (indices
-    generated per chunk, occurrence data read from the resident SA/precomp
-    tables), and only packed hit masks come back — H2D and D2H both drop from
-    O(items * fields) to O(patterns) + O(items/8)."""
+    The lookup stages use the ``*_expanded`` entry points: the work-item list
+    materializes on the HOST (np.repeat over per-pattern counts) and exactly
+    the per-item columns each kernel needs upload, query tokens pre-resolved;
+    only packed hit masks come back.  On this hardware H2D streams ~30x more
+    words/s than device gathers deliver (tools/pallas_probe.py), so 16-36
+    B/item of upload beats on-device item derivation (count-prefix binary
+    search + per-pattern field gathers, ~20 gathered words/item); D2H — the
+    slow direction through the relay — stays O(items/8)."""
 
     def __init__(self, index, sa_host: np.ndarray, cfg):
         self.index = index
         self.sa_host = sa_host
         self.cfg = cfg
+        self._qtok_cache = {}
 
     def sa_values(self, rows) -> np.ndarray:
         return self.sa_host[np.asarray(rows, np.int64)].astype(np.int32)
 
+    def _qtok_host(self, queries) -> np.ndarray:
+        """Padded host query tokens (safe for +2 lookahead indexing)."""
+        key = id(queries)
+        if key not in self._qtok_cache:
+            from cgx_tpu.search.passes import pad_query_tokens
+            self._qtok_cache[key] = pad_query_tokens(queries.tokens)
+        return self._qtok_cache[key]
+
+    def _pc_rows_dev(self, pc):
+        """Device-cached [n_pc, 2] (start, len) precomp occurrence rows."""
+        rows = getattr(pc, "_dev_rows", None)
+        if rows is None:
+            from cgx_tpu.utils.batching import bucket_size
+            n = max(len(pc.onegap_start), 1)
+            m = bucket_size(n)
+            host = np.zeros((m, 2), np.int32)
+            host[:len(pc.onegap_start), 0] = pc.onegap_start
+            host[:len(pc.onegap_length), 1] = pc.onegap_length
+            rows = jnp.asarray(host)
+            try:
+                pc._dev_rows = rows
+            except Exception:
+                pass
+        return rows
+
     def pcs_expanded(self, queries, pc, base, counts, sl, el, tok, stok,
                      fetch=True):
         from cgx_tpu.search.lookup import _pcs_batch_exp
+        from cgx_tpu.utils.batching import chunk_plan, bucket_size, MIN_BUCKET
         ix, cfg = self.index, self.cfg
+        counts = np.asarray(counts, np.int64)
         offs = _offsets(counts)
         N = int(offs[-1])
-        pcsd = (jnp.asarray(_pad1(pc.onegap_start)),
-                jnp.asarray(_pad1(pc.onegap_length)))
         D = len(counts)
-        pp = tuple(jnp.asarray(_pad_pat(np.asarray(a, np.int64)
-                                        .astype(np.int32), edge=(i == 1)))
-                   for i, a in enumerate((base, offs, sl, el, tok, stok)))
-        qt = ix.device_query_tokens(queries)
-        packed_p = chunked_indices(
-            lambda s, n: _pcs_batch_exp(ix.refstr_padded, qt, *pcsd, *pp,
-                                        jnp.int32(s), jnp.int32(D), ix.offs0,
-                                        cfg.max_rule_span, n), N,
-            chunk=PCS_CHUNK, item_div=32, fetch=False)
+        qtok = self._qtok_host(queries)
+        sl64 = np.asarray(sl, np.int64)
+        el64 = np.asarray(el, np.int64)
+        tok64 = np.asarray(tok, np.int64)
+        stok64 = np.asarray(stok, np.int64)
+        # per-pattern field rows: pc-row base, sl, el, four resolved q tokens
+        pattab = np.zeros((bucket_size(max(D, 1)), 8), np.int32)
+        pattab[:D, 0] = np.asarray(base, np.int64)
+        pattab[:D, 1] = sl64
+        pattab[:D, 2] = el64
+        pattab[:D, 3] = qtok[tok64 + np.maximum(sl64 - 2, 0)]
+        pattab[:D, 4] = qtok[tok64 + np.maximum(sl64 - 3, 0)]
+        pattab[:D, 5] = qtok[stok64 + 1]
+        pattab[:D, 6] = qtok[stok64 + 2]
+        offs_pad = np.full(len(pattab) + 1, offs[-1], np.int64)
+        offs_pad[:D + 1] = offs
+        pcrows = self._pc_rows_dev(pc)
+        pattab_d = jnp.asarray(pattab)
+        offs_d = jnp.asarray(offs_pad.astype(np.int32))
+        pending = []
+        s = 0
+        for ni in chunk_plan(N, PCS_CHUNK):
+            n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
+                else bucket_size(ni)
+            pat0 = max(int(np.searchsorted(offs, s, side="right")) - 1, 0)
+            pending.append((_pcs_batch_exp(
+                ix.refstr_padded, pcrows, pattab_d, offs_d, jnp.int32(s),
+                jnp.int32(pat0), jnp.int32(D), ix.offs0, cfg.max_rule_span,
+                n_call), ni))
+            s += ni
 
         def _post():
-            bits = np.asarray(packed_p.get()[0], np.uint32)
-            ok = ((bits[:, None] >> np.arange(32, dtype=np.uint32)) & 1
-                  ).astype(bool).ravel()[:N]
+            import jax
+            parts = [np.asarray(jax.device_get(res)[0])[: -(-ni // 32)]
+                     for res, ni in pending]
+            bits = np.ascontiguousarray(np.concatenate(parts)
+                                        if parts else np.empty(0, np.uint32))
+            ok = np.unpackbits(bits.view(np.uint8),
+                               bitorder="little")[:N].astype(bool)
             return (ok,)
         return _post() if fetch else Pending(_post)
 
     def scan_expanded(self, queries, fwd, lo, counts, sl, el, side,
                       fetch=True):
-        from cgx_tpu.search.lookup import _scan_batch_exp
+        from cgx_tpu.search.lookup import _scan_batch_cols
         ix, cfg = self.index, self.cfg
-        offs = _offsets(counts)
-        N = int(offs[-1])
-        D = len(counts)
-        pp = tuple(jnp.asarray(_pad_pat(np.asarray(a, np.int64)
-                                        .astype(np.int32), edge=(i == 1)))
-                   for i, a in enumerate((lo, offs, sl, el, side)))
-        qt = ix.device_query_tokens(queries)
-        return chunked_indices(
-            lambda s, n: _scan_batch_exp(ix.refstr_padded, ix.sa, ix.rlp,
-                                         ix.lr_tar, qt, *pp, jnp.int32(s),
-                                         jnp.int32(D), ix.offs0,
-                                         cfg.max_rule_span,
-                                         cfg.min_gap_size, fwd, n), N,
-            chunk=SCAN_CHUNK, fetch=fetch)
+        item_pat, tx = materialize_items(counts)
+        gostart = self.sa_host[np.asarray(lo, np.int64)[item_pat] + tx] \
+            .astype(np.int32)
+        qtok = self._qtok_host(queries)
+        sl_i = np.asarray(sl, np.int64)[item_pat]
+        el_i = np.asarray(el, np.int64)[item_pat]
+        side_i = np.asarray(side, np.int64)[item_pat]
+        if fwd:
+            w0, w1, w2 = qtok[side_i], qtok[side_i + 1], qtok[side_i + 2]
+        else:
+            w0 = qtok[side_i + sl_i - 1]
+            w1 = qtok[side_i + np.maximum(sl_i - 2, 0)]
+            w2 = qtok[side_i + np.maximum(sl_i - 3, 0)]
+        cols = [gostart, sl_i.astype(np.int32), el_i.astype(np.int32),
+                w0, w1, w2]
+        return chunked_batch(
+            lambda *a: _scan_batch_cols(ix.refstr_padded, ix.rlp, ix.lr_tar,
+                                        *(jnp.asarray(x) for x in a),
+                                        ix.offs0, cfg.max_rule_span,
+                                        cfg.min_gap_size, fwd),
+            cols, chunk=SCAN_CHUNK, fetch=fetch)
 
     def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True):
-        from cgx_tpu.search.lookup import _two_batch_exp
+        from cgx_tpu.search.lookup import _two_batch_packed
         ix, cfg = self.index, self.cfg
-        offs = _offsets(counts)
-        N = int(offs[-1])
-        tabs = tuple(jnp.asarray(_pad1(a)) for a in (
-            onegap_sa.str_position, onegap_sa.length,
-            pc.onegap_start, pc.onegap_length))
-        D = len(counts)
-        pp = (jnp.asarray(_pad_pat(np.asarray(lo, np.int64)
-                                   .astype(np.int32))),
-              jnp.asarray(_pad_pat(offs.astype(np.int32), edge=True)),
-              jnp.asarray(_pad_pat(np.asarray(pcmode, bool))))
-        comb_p = chunked_indices(
-            lambda s, n: _two_batch_exp(ix.refstr_padded, ix.rlp, ix.lr_tar,
-                                        *tabs, *pp, jnp.int32(s),
-                                        jnp.int32(D), ix.offs0,
-                                        cfg.max_rule_span, cfg.min_gap_size,
-                                        n), N, chunk=SCAN_CHUNK, fetch=False)
+        item_pat, tx = materialize_items(counts)
+        row = np.asarray(lo, np.int64)[item_pat] + tx
+        pcm = np.asarray(pcmode, bool)[item_pat]
+        og_sp = onegap_sa.str_position if len(onegap_sa.str_position) \
+            else np.zeros(1, np.int32)
+        og_len = onegap_sa.length if len(onegap_sa.length) \
+            else np.zeros(1, np.int32)
+        pc_sp = pc.onegap_start if len(pc.onegap_start) \
+            else np.zeros(1, np.int32)
+        pc_len = pc.onegap_length if len(pc.onegap_length) \
+            else np.zeros(1, np.int32)
+        css = np.where(pcm, pc_sp[np.clip(row, 0, len(pc_sp) - 1)],
+                       og_sp[np.clip(row, 0, len(og_sp) - 1)])
+        fes = np.where(pcm, pc_len[np.clip(row, 0, len(pc_len) - 1)],
+                       og_len[np.clip(row, 0, len(og_len) - 1)])
+        comb_p = chunked_batch(
+            lambda *a: _two_batch_packed(ix.refstr_padded, ix.rlp, ix.lr_tar,
+                                         *(jnp.asarray(x) for x in a),
+                                         ix.offs0, cfg.max_rule_span,
+                                         cfg.min_gap_size),
+            [css.astype(np.int32), fes.astype(np.int32)],
+            chunk=SCAN_CHUNK, fetch=False)
 
         def _post():
             comb = np.asarray(comb_p.get()[0], np.uint32)

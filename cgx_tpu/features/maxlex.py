@@ -112,34 +112,43 @@ def _probe_bests_host(lex_key, lex_val1, lex_val2, src_pat, ttok, tmask,
 
 
 # ---------------------------------------------------------------------------
-# Device probe: branchless lower-bound binary search over the sorted (src, tgt)
-# int32 columns (the packed-int64 order is the (src, tgt) lexicographic order,
-# so comparing components needs no x64 mode).  Gathers and maxes are exact, so
-# the returned float32 bests are bit-equal to the host backends.
+# Device probe.  TPU gathers cost ~10ns per gathered WORD regardless of stride
+# (no per-lane gather hardware; see tools/pallas_probe.py), so the design goal
+# is the fewest gathered words per probe:
+#   dense mode  — per-direction [ns, nt] probability matrices resident in HBM,
+#                 one 2D gather per probe (2 words over both directions);
+#   range mode  — a dense per-src row-range table plus a binary search over the
+#                 tgt column only (2 + ~log2(max rows per src) words) when the
+#                 id-space square is too large for HBM.
+# Gathers and maxes are exact, so the float32 bests are bit-equal to the host
+# backends (first table row wins on duplicate pairs in both modes).
 # ---------------------------------------------------------------------------
 
+# max dense-matrix entries per direction on device (2 x 512 MB of HBM)
+DEV_DENSE_LIMIT = 1 << 27
 
-def _pair_lookup(ls, lt, lv, s, t, steps: int):
-    """value at lexicographic (s, t) or 0.0; ls/lt sorted, padded with INT32_MAX
-    (padding never matches a real probe).  Broadcasts over probe shape."""
-    n = ls.shape[0]
-    lo = jnp.zeros(s.shape, jnp.int32)
-    hi = jnp.full(s.shape, n, jnp.int32)
+
+def _tgt_range_lookup(lt, lv, lo0, hi0, t, steps: int):
+    """value at tgt ``t`` within the sorted row range [lo0, hi0) or 0.0."""
+    shp = jnp.broadcast_shapes(jnp.shape(lo0), jnp.shape(hi0), jnp.shape(t))
+    lo = jnp.broadcast_to(lo0, shp).astype(jnp.int32)
+    hi = jnp.broadcast_to(hi0, shp).astype(jnp.int32)
+    t = jnp.broadcast_to(t, shp)
+    hi_init = hi
+    n = lt.shape[0]
     for _ in range(steps):
         mid = (lo + hi) >> 1
-        ms = ls[mid]
-        mt = lt[mid]
-        less = (ms < s) | ((ms == s) & (mt < t))   # key[mid] < probe
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
-    loc = jnp.minimum(lo, n - 1)
-    found = (lo < n) & (ls[loc] == s) & (lt[loc] == t)
+        ms = lt[jnp.clip(mid, 0, n - 1)]
+        less = ms < t
+        sel = lo < hi
+        lo = jnp.where(sel & less, mid + 1, lo)
+        hi = jnp.where(sel & ~less, mid, hi)
+    loc = jnp.clip(lo, 0, n - 1)
+    found = (lo < hi_init) & (lt[loc] == t)
     return jnp.where(found, lv[loc], jnp.float32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("steps",))
-def _probe_batch_dev(ls, lt, lv1, lv2, tgt_str, sp, t0, tend, g1, g11, g2, g21,
-                     steps):
+def _probe_masks(tgt_str, t0, tend, g1, g11, g2, g21):
     pos = t0[:, None] + jnp.arange(TPOSW, dtype=jnp.int32)[None, :]
     ttok = tgt_str[jnp.clip(pos, 0, tgt_str.shape[0] - 1)]
     inside = pos <= (t0 + tend)[:, None]
@@ -148,48 +157,91 @@ def _probe_batch_dev(ls, lt, lv1, lv2, tgt_str, sp, t0, tend, g1, g11, g2, g21,
     out2 = (g2 < 0)[:, None] | (pos < (t0 + g2)[:, None]) | \
         (pos > (t0 + g21)[:, None])
     tmask = inside & out1 & out2
-    any_t = tmask.any(axis=1)
-    s3 = sp[:, :, None]                              # [T, 5, 1]
-    t3 = ttok[:, None, :]                            # [T, 1, 16]
+    return ttok, tmask, tmask.any(axis=1)
+
+
+def _bests_from_values(v1, v2, v2null, v1null, sp, tmask, any_t):
     z = jnp.float32(0)
-    v2 = _pair_lookup(ls, lt, lv2, s3, t3, steps)    # [T, 5, 16]
     fge_best = jnp.max(jnp.where(tmask[:, None, :], v2, z), axis=2)
-    v2null = _pair_lookup(ls, lt, lv2, sp, jnp.full_like(sp, -1), steps)
     fge_best = jnp.where(any_t[:, None], jnp.maximum(fge_best, v2null),
                          fge_best)
-    v1 = _pair_lookup(ls, lt, lv1, s3, t3, steps)
     src_valid = sp >= -1
     egf_best = jnp.max(jnp.where(src_valid[:, :, None], v1, z), axis=1)
-    v1null = _pair_lookup(ls, lt, lv1, jnp.full_like(ttok, -1), ttok, steps)
     egf_best = jnp.maximum(egf_best, v1null)
     return fge_best, egf_best
 
 
+@jax.jit
+def _probe_batch_dense(M1, M2, tgt_str, sp, t0, tend, g1, g11, g2, g21):
+    ttok, tmask, any_t = _probe_masks(tgt_str, t0, tend, g1, g11, g2, g21)
+    ns, nt = M1.shape
+    si = sp + 1                                      # [T, 5]; NULL src -> row 0
+    ti = ttok + 1                                    # [T, 16]; NULL tgt -> col 0
+    oks = (si >= 0) & (si < ns)
+    okt = (ti >= 0) & (ti < nt)
+    sic = jnp.where(oks, si, 0)
+    tic = jnp.where(okt, ti, 0)
+    okb = oks[:, :, None] & okt[:, None, :]
+    z = jnp.float32(0)
+    v2 = jnp.where(okb, M2[sic[:, :, None], tic[:, None, :]], z)
+    v1 = jnp.where(okb, M1[sic[:, :, None], tic[:, None, :]], z)
+    v2null = jnp.where(oks, M2[sic, 0], z)
+    v1null = jnp.where(okt, M1[0, tic], z)
+    return _bests_from_values(v1, v2, v2null, v1null, sp, tmask, any_t)
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _probe_batch_range(rs, re, lt, lv1, lv2, tgt_str, sp, t0, tend, g1, g11,
+                       g2, g21, steps):
+    ttok, tmask, any_t = _probe_masks(tgt_str, t0, tend, g1, g11, g2, g21)
+    ns = rs.shape[0]
+    si = sp + 1                                      # [T, 5]
+    oks = (si >= 0) & (si < ns)
+    sic = jnp.where(oks, si, 0)
+    lo = jnp.where(oks, rs[sic], 0)                  # empty range when invalid
+    hi = jnp.where(oks, re[sic], 0)
+    t3 = ttok[:, None, :]
+    v2 = _tgt_range_lookup(lt, lv2, lo[:, :, None], hi[:, :, None], t3, steps)
+    v1 = _tgt_range_lookup(lt, lv1, lo[:, :, None], hi[:, :, None], t3, steps)
+    nullt = jnp.full_like(sp, -1)
+    v2null = _tgt_range_lookup(lt, lv2, lo, hi, nullt, steps)
+    # src NULL = id -1 = row-range 0
+    lo0 = jnp.broadcast_to(rs[0], ttok.shape)
+    hi0 = jnp.broadcast_to(re[0], ttok.shape)
+    v1null = _tgt_range_lookup(lt, lv1, lo0, hi0, ttok, steps)
+    return _bests_from_values(v1, v2, v2null, v1null, sp, tmask, any_t)
+
+
 def _device_lex_tables(index):
-    """Cached device-resident (src, tgt, val1, val2, steps) for the probe,
-    padded to a power of two with INT32_MAX sentinels (shape-stable programs)."""
+    """Cached device-resident probe tables: dense [ns, nt] matrices when the
+    id-space square fits DEV_DENSE_LIMIT, else a dense per-src row-range table
+    over the sorted tgt/value columns."""
     cached = getattr(index, "_maxlex_dev", None)
     if cached is not None:
         return cached
-    from cgx_tpu.utils.batching import bucket_size
-
     lex_key = index.lex_key
-    src = (lex_key >> 32).astype(np.int32)
-    tgt = ((lex_key & 0xFFFFFFFF) - 2**31).astype(np.int32)
+    src = (lex_key >> 32).astype(np.int64)
+    tgt = ((lex_key & 0xFFFFFFFF) - 2**31).astype(np.int64)
     n = len(src)
-    m = bucket_size(max(n, 1))
-    imax = np.int32(np.iinfo(np.int32).max)
-    ls = np.full(m, imax, np.int32)
-    lt = np.full(m, imax, np.int32)
-    lv1 = np.zeros(m, np.float32)
-    lv2 = np.zeros(m, np.float32)
-    ls[:n] = src
-    lt[:n] = tgt
-    lv1[:n] = np.asarray(index.lex_val1_host, np.float32)
-    lv2[:n] = np.asarray(index.lex_val2_host, np.float32)
-    steps = max(int(m).bit_length(), 1)
-    out = (jnp.asarray(ls), jnp.asarray(lt), jnp.asarray(lv1),
-           jnp.asarray(lv2), steps)
+    ns = int(src.max()) + 2 if n else 1
+    nt = int(tgt.max()) + 2 if n else 1
+    v1 = np.asarray(index.lex_val1_host, np.float32)
+    v2 = np.asarray(index.lex_val2_host, np.float32)
+    if ns * nt <= DEV_DENSE_LIMIT:
+        M1 = np.zeros((ns, nt), dtype=np.float32)
+        M2 = np.zeros((ns, nt), dtype=np.float32)
+        M1[src[::-1] + 1, tgt[::-1] + 1] = v1[::-1]  # first row wins
+        M2[src[::-1] + 1, tgt[::-1] + 1] = v2[::-1]
+        out = ("dense", (jnp.asarray(M1), jnp.asarray(M2)))
+    else:
+        # per-src row ranges over the (src, tgt)-sorted columns
+        rs = np.searchsorted(src + 1, np.arange(ns)).astype(np.int32)
+        re = np.searchsorted(src + 1, np.arange(ns) + 1).astype(np.int32)
+        max_rows = int((re - rs).max()) if n else 1
+        steps = max(int(max_rows).bit_length(), 1)
+        out = ("range", (jnp.asarray(rs), jnp.asarray(re),
+                         jnp.asarray(tgt.astype(np.int32)),
+                         jnp.asarray(v1), jnp.asarray(v2), steps))
     try:
         index._maxlex_dev = out
     except Exception:   # frozen containers: rebuild per call (still cheap)
@@ -202,13 +254,18 @@ def _probe_bests_device(index, src_pat, t0, tend, g1, g11, g2, g21):
     The target string and lexical table are device-resident."""
     from cgx_tpu.utils.batching import chunked_batch
 
-    ls, lt, lv1, lv2, steps = _device_lex_tables(index)
+    mode, tabs = _device_lex_tables(index)
     tgt_dev = index.tgt_str
     cols = [np.ascontiguousarray(src_pat, np.int32)] + [
         np.asarray(a, np.int32) for a in (t0, tend, g1, g11, g2, g21)]
-    out = chunked_batch(
-        lambda *a: _probe_batch_dev(ls, lt, lv1, lv2, tgt_dev, *a,
-                                    steps=steps), cols)
+    if mode == "dense":
+        M1, M2 = tabs
+        fn = lambda *a: _probe_batch_dense(M1, M2, tgt_dev, *a)
+    else:
+        rs, re, lt, lv1, lv2, steps = tabs
+        fn = lambda *a: _probe_batch_range(rs, re, lt, lv1, lv2, tgt_dev, *a,
+                                           steps=steps)
+    out = chunked_batch(fn, cols)
     return out[0], out[1]
 
 
@@ -246,12 +303,16 @@ def compute_maxlex_tpu(task_arrays: dict, index, rules_one, rules_two,
     tmask = inside & out1 & out2
     any_t = tmask.any(axis=1)
 
+    from cgx_tpu.utils.timing import StageMarks
+    mk = StageMarks("maxlex")
+    mk.mark("prep")
     if use_device is None:
         use_device = (getattr(index, "tgt_str", None) is not None
                       and T >= DEVICE_MIN_T)
     if use_device:
         fge_best, egf_best = _probe_bests_device(index, src_pat, t0, tend,
                                                  g1, g11, g2, g21)
+        mk.mark("probe_dev")
         fge_best = np.asarray(fge_best)
         egf_best = np.asarray(egf_best)
     else:
@@ -259,6 +320,7 @@ def compute_maxlex_tpu(task_arrays: dict, index, rules_one, rules_two,
         fge_best, egf_best = _probe_bests_host(
             lex_key, index.lex_val1_host, index.lex_val2_host, src_pat, ttok,
             tmask, any_t)
+    mk.mark("probe")
 
     maxscore = np.float32(cfg.max_score)
     fge = np.zeros(T, dtype=np.float32)
@@ -286,3 +348,5 @@ def compute_maxlex_tpu(task_arrays: dict, index, rules_one, rules_two,
         rules.max_lex_fge[:] = fge[off:off + nk]
         rules.max_lex_egf[:] = egf[off:off + nk]
         off += nk
+    mk.mark("accum")
+    mk.done()

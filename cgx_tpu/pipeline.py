@@ -174,6 +174,8 @@ def _front_stages(ctx, queries, cfg, t):
         blocks = generate_blocks(sa, queries, p1, p2,
                                  sa_values=ctx["sa_values"])
     with t.phase("extractkernel"):
+        from cgx_tpu.utils.timing import StageMarks
+        mk = StageMarks("extract")
         # dispatch all three kernels, then fetch: the round-trips overlap
         fin_c = xdev.extract_contiguous_tpu(index, blocks, cfg, engine=engine,
                                             defer=True)
@@ -181,9 +183,14 @@ def _front_stages(ctx, queries, cfg, t):
                                         cfg, engine=engine, defer=True)
         fin_o = xdev.extract_onegap_tpu(index, search1, onegap_sa, pc, cfg,
                                         engine=engine, defer=True)
+        mk.mark("dispatch")
         contig, og_blocks, tg_blocks = fin_c()
+        mk.mark("contig_fetch")
         tg_seeds = fin_t()
+        mk.mark("twogap_fetch")
         og_seeds, tg_onegap = fin_o()
+        mk.mark("onegap_fetch")
+        mk.done()
     sep_onegap = len(og_blocks.gappy_index)
     rules1 = _concat_gaprules(og_blocks, og_seeds)
     sep1 = len(tg_blocks.gappy_index)
@@ -204,15 +211,21 @@ def _back_stages(ctx, queries, fr, cfg, t):
     lex_index = ctx["lex_index"]
     blocks, search1, enum1 = fr["blocks"], fr["search1"], fr["enum1"]
     search2, enum2 = fr["search2"], fr["enum2"]
+    from cgx_tpu.utils.timing import StageMarks
     with t.phase("lexicon"):
+        mk = StageMarks("lexicon")
         rules_one, tasks_one = lx.fast_create_lexicon_onegap(
             fr["rules1"], source, target, blocks, search1, enum1,
             fr["onegap_sa"], pc, fr["sep_onegap"], cfg)
+        mk.mark(f"onegap[{len(fr['rules1'].gappy_index)}]")
         rules_two, tasks_two = lx.fast_create_lexicon_twogap(
             fr["rules2"], source, target, blocks, search1, enum1, search2,
             enum2, fr["onegap_sa"], pc, fr["sep1"], fr["sep2"], cfg)
+        mk.mark(f"twogap[{len(fr['rules2'].gappy_index)}]")
         rules_contig, tasks_contig = lx.fast_create_lexicon_contig(
             fr["contig"], source, target, blocks, cfg)
+        mk.mark(f"contig[{len(fr['contig'].blocknumber)}]")
+        mk.done()
     with t.phase("maxlex"):
         ml.compute_maxlex_tpu(
             {"onegap": tasks_one, "twogap": tasks_two, "contig": tasks_contig},

@@ -30,6 +30,16 @@ from cgx_tpu.utils.views import make_views
 MMOV = 16  # static move-axis width; real moves bounded by max_rule_span - 2
 
 
+def _mask_hits(mask, nbits=MMOV):
+    """(item, move) indices of the set bits of a packed per-item bitmask —
+    np.unpackbits over the little-endian byte view (one byte-wide pass)
+    instead of a [N, nbits] int64 shift table."""
+    m = np.ascontiguousarray(np.asarray(mask, np.uint32))
+    bits = np.unpackbits(m.view(np.uint8).reshape(len(m), 4),
+                         axis=1, bitorder="little")[:, :nbits]
+    return np.nonzero(bits)
+
+
 def _prefix_ok(survive):
     """reach[m] = AND of survive[0..m-1] (sequential early-exit emulation)."""
     c = jnp.cumprod(survive.astype(jnp.int32))
@@ -40,14 +50,16 @@ def _prefix_ok(survive):
 # forward / backward aXb occurrence scans (GappyLook.cu:335-470)
 # ---------------------------------------------------------------------------
 
-def _fwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
-              gostart, sl, el, stok):
+def _fwd_item(refstr, rlp, lr_tar, mrs, mgs,
+              gostart, sl, el, b0, b1, b2):
     """Forward scan from an occurrence of a: emissions over the move axis.
-    Returns (valid[MMOV], length[MMOV]); str_position is gostart."""
+    ``b0/b1/b2`` are the first three b tokens, resolved by the caller (host
+    columns for the replicated engine, qtokens gathers in the sharded
+    wrappers) so the kernel itself gathers no query tokens.
+    Returns a packed valid bitmask; str_position is gostart."""
     moves = jnp.arange(MMOV, dtype=jnp.int32)
-    b_first = qtokens[stok]
+    b_first = b0
     gap0_bad = refstr[gostart + sl] < 2
-    pos = gostart + sl + mgs + moves
     # one (MMOV+2)-wide window serves the scan and both tail-verify shifts
     wpos = gostart + sl + mgs + jnp.arange(MMOV + 2, dtype=jnp.int32)
     win = refstr[jnp.minimum(wpos, refstr.shape[0] - 1)]
@@ -59,11 +71,10 @@ def _fwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
     verify_ok = jnp.ones(MMOV, dtype=bool)
     verify_kill = jnp.zeros(MMOV, dtype=bool)
     is_b = temp == b_first
-    for k in (1, 2):
+    for k, want in ((1, b1), (2, b2)):
         need = el > k
         in_span = sl + mgs + moves + 1 + k <= mrs
         bo = win[k:MMOV + k]
-        want = qtokens[stok + k]
         match_k = bo == want
         # previous tail tokens all matched => this k is actually compared
         prev_ok = verify_ok
@@ -81,14 +92,14 @@ def _fwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
     return (jnp.sum(jnp.where(valid, jnp.int32(1) << moves, 0)),)
 
 
-def _bwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
-              gostart, sl, el, tok):
+def _bwd_item(refstr, rlp, lr_tar, mrs, mgs,
+              gostart, sl, el, a0, a1, a2):
     """Backward scan from an occurrence of b (GappyLook.cu:397-470).
-    Returns (valid[MMOV], str_position[MMOV], length[MMOV])."""
+    ``a0/a1/a2`` are the last three a tokens in reverse order
+    (caller-resolved, like _fwd_item's b tokens)."""
     moves = jnp.arange(MMOV, dtype=jnp.int32)
-    a_last = qtokens[tok + sl - 1]
+    a_last = a0
     gap0_bad = refstr[jnp.maximum(gostart - 1, 0)] < 2
-    pos = gostart - 1 - mgs - moves
     # one reversed (MMOV+2)-wide window serves the scan and both verify shifts
     wpos = gostart - 1 - mgs - jnp.arange(MMOV + 2, dtype=jnp.int32)
     win = jnp.where(wpos < 0, jnp.int32(-1),
@@ -99,11 +110,10 @@ def _bwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
     verify_ok = jnp.ones(MMOV, dtype=bool)
     verify_kill = jnp.zeros(MMOV, dtype=bool)
     is_a = temp == a_last
-    for k in (1, 2):
+    for k, want in ((1, a1), (2, a2)):
         need = sl > k
         in_span = el + mgs + moves + 1 + k <= mrs
         bo = win[k:MMOV + k]
-        want = qtokens[tok + jnp.maximum(sl - 1 - k, 0)]
         match_k = bo == want
         prev_ok = verify_ok
         cmp_here = is_a & need & prev_ok & in_span
@@ -118,112 +128,136 @@ def _bwd_item(refstr, rlp, lr_tar, qtokens, mrs, mgs,
     return (jnp.sum(jnp.where(valid, jnp.int32(1) << moves, 0)),)
 
 
-def _pcs_item(refstr, qtokens, mrs, pstart, plen, sl, el, tok, stok):
+def _pcs_item(refstr, mrs, pstart, plen, sl, el, pa1, pa2, pb2, pb3):
     """Precomp-seeded verification of an extended aXb (GappyLook.cu:289-334):
-    check span budget, the extra a prefix backwards, the extra b suffix forwards.
-    Returns (valid, str_position, length) scalars."""
+    check span budget, the extra a prefix backwards, the extra b suffix
+    forwards.  ``pa1/pa2`` (prefix) and ``pb2/pb3`` (suffix) are the query
+    tokens compared at each unrolled step, caller-resolved — the kernel reads
+    only 4 corpus words per item."""
     ok = plen + 1 + sl - 1 + el - 1 <= mrs
     # prefix: backoff = 1..sl-1 (sl <= 3 so unroll 1, 2)
-    for k in (1, 2):
+    for k, want in ((1, pa1), (2, pa2)):
         need = sl > k
         p = pstart - k
-        good = (p >= 0) & (refstr[jnp.maximum(p, 0)]
-                           == qtokens[tok + jnp.maximum(sl - 1 - k, 0)])
+        good = (p >= 0) & (refstr[jnp.maximum(p, 0)] == want)
         ok = ok & jnp.where(need, good, True)
     # suffix: forward = 2..el
-    for k in (2, 3):
+    for k, want in ((2, pb2), (3, pb3)):
         need = el >= k
-        good = refstr[pstart + plen + k - 1] == qtokens[stok + k - 1]
+        good = refstr[pstart + plen + k - 1] == want
         ok = ok & jnp.where(need, good, True)
     return (ok,)   # str_position/length are host-derivable from the item
+
+
+def _qtok_fwd(qtokens, stok):
+    """First three b tokens for the forward scan (device-side resolution
+    for the sharded wrappers)."""
+    return qtokens[stok], qtokens[stok + 1], qtokens[stok + 2]
+
+
+def _qtok_bwd(qtokens, tok, sl):
+    """Last three a tokens, innermost first, for the backward scan."""
+    return (qtokens[tok + sl - 1], qtokens[tok + jnp.maximum(sl - 2, 0)],
+            qtokens[tok + jnp.maximum(sl - 3, 0)])
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
 def _fwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, stok,
                offs, mrs, mgs):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
-    f = functools.partial(_fwd_item, refstr, rlp, lr_tar, qtokens, mrs, mgs)
-    return jax.vmap(f)(gostart, sl, el, stok)
+    f = functools.partial(_fwd_item, refstr, rlp, lr_tar, mrs, mgs)
+    b0, b1, b2 = _qtok_fwd(qtokens, stok)
+    return jax.vmap(f)(gostart, sl, el, b0, b1, b2)
 
 
 @functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
 def _bwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, tok,
                offs, mrs, mgs):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
-    f = functools.partial(_bwd_item, refstr, rlp, lr_tar, qtokens, mrs, mgs)
-    return jax.vmap(f)(gostart, sl, el, tok)
+    f = functools.partial(_bwd_item, refstr, rlp, lr_tar, mrs, mgs)
+    a0, a1, a2 = _qtok_bwd(qtokens, tok, sl)
+    return jax.vmap(f)(gostart, sl, el, a0, a1, a2)
 
 
 @functools.partial(jax.jit, static_argnames=("mrs",))
 def _pcs_batch(refstr, qtokens, pstart, plen, sl, el, tok, stok, offs, mrs):
     refstr, _, _ = make_views(refstr, refstr, refstr, offs)
-    f = functools.partial(_pcs_item, refstr, qtokens, mrs)
-    return jax.vmap(f)(pstart, plen, sl, el, tok, stok)
+    f = functools.partial(_pcs_item, refstr, mrs)
+    pa1 = qtokens[tok + jnp.maximum(sl - 2, 0)]
+    pa2 = qtokens[tok + jnp.maximum(sl - 3, 0)]
+    return jax.vmap(f)(pstart, plen, sl, el, pa1, pa2,
+                       qtokens[stok + 1], qtokens[stok + 2])
 
 
 # ---------------------------------------------------------------------------
-# expanded-dispatch kernels: the multi-million-item work lists of the lookup
-# stage are never uploaded — each device program derives (pattern, tx) for its
-# item range from per-pattern prefix tables (tiny) and reads occurrence data
-# from device-resident SA / precomp row tables.  H2D per dispatch: O(patterns).
+# column-dispatch kernels (replicated engine): the engine materializes the
+# work-item list on the HOST (np.repeat over per-pattern counts) and uploads
+# exactly the per-item columns each kernel needs, with query tokens already
+# resolved.  On this hardware H2D streams ~30x faster per word than device
+# gathers run (tools/pallas_probe.py), so shipping 16-24 B/item beats deriving
+# items on device (binary-searching the count prefix plus per-pattern field
+# gathers cost ~20 gathered words/item).
 # ---------------------------------------------------------------------------
 
-def _expand(offs_d, g, D):
-    """item index -> (pattern, tx) via the exclusive count prefix (edge-padded
-    past D+1 entries); padding items clamp to the last real pattern.  ``D`` is
-    a traced scalar so the program is pattern-count-independent."""
-    pat = jnp.clip(jnp.searchsorted(offs_d, g, side="right") - 1, 0, D - 1)
-    tx = g - offs_d[pat]
-    return pat, tx
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd"))
+def _scan_batch_cols(refstr, rlp, lr_tar, gostart, sl, el, w0, w1, w2,
+                     offs, mrs, mgs, fwd):
+    """Forward/backward scans over host-resolved per-item columns; ``w*`` are
+    the compared query tokens (b tokens fwd, reversed a tokens bwd)."""
+    refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
+    item = _fwd_item if fwd else _bwd_item
+    f = functools.partial(item, refstr, rlp, lr_tar, mrs, mgs)
+    return jax.vmap(f)(gostart, sl, el, w0, w1, w2)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "n"))
-def _pcs_batch_exp(refstr, qtokens, pc_start, pc_len, base_d, offs_d, sl_d,
-                   el_d, tok_d, stok_d, start, d_real, offs, mrs, n):
+@functools.partial(jax.jit, static_argnames=("mrs",))
+def _pcs_batch_cols(refstr, pstart, plen, sl, el, pa1, pa2, pb2, pb3,
+                    offs, mrs):
+    """Precomp-seed verification over host-resolved columns, bit-packed out:
+    32 items per word — the ok flags are the whole result, so D2H is n/32."""
     refstr, _, _ = make_views(refstr, refstr, refstr, offs)
-    g = start + jnp.arange(n, dtype=jnp.int32)
-    pat, tx = _expand(offs_d, g, d_real)
-    row = jnp.clip(base_d[pat] + tx, 0, pc_start.shape[0] - 1)
-    f = functools.partial(_pcs_item, refstr, qtokens, mrs)
-    (ok,) = jax.vmap(f)(pc_start[row], pc_len[row], sl_d[pat], el_d[pat],
-                        tok_d[pat], stok_d[pat])
-    # 32 items per word: the ok flags are the whole result, so D2H is n/32
+    f = functools.partial(_pcs_item, refstr, mrs)
+    (ok,) = jax.vmap(f)(pstart, plen, sl, el, pa1, pa2, pb2, pb3)
     bits = jnp.arange(32, dtype=jnp.uint32)
     return (jnp.sum(ok.reshape(-1, 32).astype(jnp.uint32) << bits[None, :],
                     axis=1, dtype=jnp.uint32),)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd", "n"))
-def _scan_batch_exp(refstr, refsa, rlp, lr_tar, qtokens, lo_d, offs_d, sl_d,
-                    el_d, side_d, start, d_real, offs, mrs, mgs, fwd, n):
-    """Expanded forward/backward scans; ``side_d`` is stok (fwd) or tok (bwd)."""
-    refstr_v, rlp_v, lrt_v = make_views(refstr, rlp, lr_tar, offs)
-    g = start + jnp.arange(n, dtype=jnp.int32)
-    pat, tx = _expand(offs_d, g, d_real)
-    gostart = refsa[jnp.clip(lo_d[pat] + tx, 0, refsa.shape[0] - 1)]
-    item = _fwd_item if fwd else _bwd_item
-    f = functools.partial(item, refstr_v, rlp_v, lrt_v, qtokens, mrs, mgs)
-    return jax.vmap(f)(gostart, sl_d[pat], el_d[pat], side_d[pat])
+def _cumsum_expand(offs_pad, start, pat0, d_real, n: int):
+    """item index -> (pattern, tx) for items [start, start+n) WITHOUT a
+    per-item binary search: pattern boundaries inside the window scatter into
+    a marks vector whose cumsum is the pattern index (pure vector ops + ONE
+    gathered word per item for tx).  ``pat0`` = pattern owning item ``start``
+    (host-computed scalar); padding items clamp to the last real pattern."""
+    j = jnp.arange(n, dtype=jnp.int32)
+    rel = offs_pad[1:] - start                   # [Dpad] boundary positions
+    valid = (rel >= 1) & (rel <= n - 1)
+    marks = jnp.zeros(n, jnp.int32).at[jnp.clip(rel, 0, n - 1)].add(
+        valid.astype(jnp.int32))
+    pat = jnp.clip(pat0 + jnp.cumsum(marks), 0, d_real - 1)
+    tx = start + j - offs_pad[pat]
+    return pat, tx
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "n"))
-def _two_batch_exp(refstr, rlp, lr_tar, og_sp, og_len, pc_start, pc_len,
-                   lo_d, offs_d, pcmode_d, start, d_real, offs, mrs, mgs, n):
-    """Expanded 2-gap core scan: occurrence (css, fes) resolved on device from
-    the onegap-SA row tables or (pcmode) the precomp row tables."""
-    refstr_v, rlp_v, lrt_v = make_views(refstr, rlp, lr_tar, offs)
-    g = start + jnp.arange(n, dtype=jnp.int32)
-    pat, tx = _expand(offs_d, g, d_real)
-    row = lo_d[pat] + tx
-    pcm = pcmode_d[pat]
-    row_sa = jnp.clip(row, 0, og_sp.shape[0] - 1)
-    row_pc = jnp.clip(row, 0, pc_start.shape[0] - 1)
-    css = jnp.where(pcm, pc_start[row_pc], og_sp[row_sa])
-    fes = jnp.where(pcm, pc_len[row_pc], og_len[row_sa])
-    f = functools.partial(_two_item, refstr_v, rlp_v, lrt_v, mrs, mgs)
-    cand, gc = jax.vmap(f)(css, fes)
-    # one word per item: cand in the low 16 bits, gc in the high 16
-    return (cand.astype(jnp.uint32) | (gc.astype(jnp.uint32) << 16),)
+@functools.partial(jax.jit, static_argnames=("mrs", "n"))
+def _pcs_batch_exp(refstr, pcrows, pattab, offs_pad, start, pat0, d_real,
+                   offs, mrs, n):
+    """Precomp-seed verification with on-device item expansion: per item, one
+    cumsum-expand word (tx), one [8]-row gather of per-pattern fields (pc-row
+    base, sl, el and the four pre-resolved query tokens), one [2]-row gather
+    of the precomp occurrence (start, len), and _pcs_item's 4 corpus words —
+    ~15 gathered words/item, with H2D per dispatch only O(patterns)."""
+    refstr, _, _ = make_views(refstr, refstr, refstr, offs)
+    pat, tx = _cumsum_expand(offs_pad, start, pat0, d_real, n)
+    f = pattab[pat]                              # [n, 8]
+    row = jnp.clip(f[:, 0] + tx, 0, pcrows.shape[0] - 1)
+    pr = pcrows[row]                             # [n, 2] (start, len)
+    ff = functools.partial(_pcs_item, refstr, mrs)
+    (ok,) = jax.vmap(ff)(pr[:, 0], pr[:, 1], f[:, 1], f[:, 2], f[:, 3],
+                         f[:, 4], f[:, 5], f[:, 6])
+    bits = jnp.arange(32, dtype=jnp.uint32)
+    return (jnp.sum(ok.reshape(-1, 32).astype(jnp.uint32) << bits[None, :],
+                    axis=1, dtype=jnp.uint32),)
 
 
 def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
@@ -232,6 +266,8 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
     """Host orchestration + device scans; fills search.start/end_on_salist.
     ``engine`` selects the dispatch/index layout (cgx_tpu.engine); by default
     the replicated single-device layout over ``index``/``sa_host``."""
+    from cgx_tpu.utils.timing import StageMarks
+    mk = StageMarks("lookup1")
     if engine is None:
         from cgx_tpu.engine import ReplicatedEngine
         engine = ReplicatedEngine(index, sa_host, cfg)
@@ -277,6 +313,7 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
     pc_ref = has_pc & (sl_all == 1) & (el_all == 1) & (pc_dis >= 0)
     pc_seed = has_pc & ~pc_ref
 
+    mk.mark("prep")
     rows_parts = []
 
     # 1) precomp references: one row per pattern
@@ -308,10 +345,12 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         pend = engine.scan_expanded(queries, fwd, lo, counts, sl_all[ids],
                                     el_all[ids], side, fetch=False)
         scan_jobs.append((fwd, ids, lo, counts, pend))
+    mk.mark("dispatch")
 
     if pcs_job is not None:
         counts_s, pend = pcs_job
         (ok,) = pend.get()
+        mk.mark(f"pcs_fetch[{int(counts_s.sum())}]")
         hit = np.flatnonzero(np.asarray(ok, bool))
         if len(hit):
             pat, tx, _ = expand_hits(hit, counts_s, seed_ids)
@@ -320,11 +359,12 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
             length = pc.onegap_length[row].astype(np.int64) \
                 + sl_all[pat] - 1 + el_all[pat] - 1
             rows_parts.append(np.stack([pat, spos, length], axis=1))
+        mk.mark("pcs_post")
 
     for fwd, ids, lo, counts, pend in scan_jobs:
         (mask,) = pend.get()
-        ii, mm = np.nonzero(
-            (mask[:, None].astype(np.int64) >> np.arange(MMOV)) & 1)
+        mk.mark(f"scan_fetch[{int(counts.sum())}]")
+        ii, mm = _mask_hits(mask)
         if not len(ii):
             continue
         pat, tx, pi = expand_hits(ii, counts, ids)
@@ -337,12 +377,15 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
             length = el_all[pat] + mgs + mm + sl_all[pat] - 1
             rows_parts.append(np.stack([pat, spos, length], axis=1))
 
+    mk.mark("scan_post")
     if rows_parts:
         rows = np.concatenate(rows_parts, axis=0)
         order = np.lexsort((rows[:, 2], rows[:, 1], rows[:, 0]))
         rows = rows[order]
     else:
         rows = np.empty((0, 3), dtype=np.int64)
+    mk.mark("sort")
+    mk.done()
 
     out = GapOnSA(position=rows[:, 0].astype(np.int32),
                   str_position=rows[:, 1].astype(np.int32),
@@ -392,6 +435,16 @@ def _two_batch(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs):
     return jax.vmap(f)(pstart, plen)
 
 
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
+def _two_batch_packed(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs):
+    """_two_batch with both masks in one word (cand low 16, gc high 16):
+    halves the D2H bytes per item through the relay."""
+    refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
+    f = functools.partial(_two_item, refstr, rlp, lr_tar, mrs, mgs)
+    cand, gc = jax.vmap(f)(pstart, plen)
+    return (cand.astype(jnp.uint32) | (gc.astype(jnp.uint32) << 16),)
+
+
 def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
                        onegap_sa: GapOnSA, search2: TwoGapSearch,
                        pc: Precomp, cfg: ExtractorConfig,
@@ -430,15 +483,17 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
     counts = np.where(has & (hi >= lo), hi - lo + 1, 0)
     if D2 == 0 or counts.sum() == 0:
         return GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
+    from cgx_tpu.utils.timing import StageMarks
+    mk = StageMarks("lookup2")
     cand_mask, gc_mask = engine.two_expanded(onegap_sa, pc, lo, counts,
                                              pcmode)
+    mk.mark(f"scan[{int(counts.sum())}]")
     # sorted (oneId, c-token) -> twoId table; distinct patterns are unique pairs
     ctok = np.asarray(queries.tokens)[search2.gap2].astype(np.int64)
     keys = (search2.blockid.astype(np.int64) << 32) | ctok
     korder = np.argsort(keys, kind="stable")
     keys_sorted = keys[korder]
-    ii, mm = np.nonzero(
-        (cand_mask[:, None].astype(np.int64) >> np.arange(MMOV)) & 1)
+    ii, mm = _mask_hits(cand_mask)
     if not len(ii):
         return GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
     # occurrence fields + scanned c-token recomputed host-side at hits only
@@ -469,6 +524,8 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
                      length2[hit].astype(np.int64)], axis=1)
     order = np.lexsort((rows[:, 3], rows[:, 2], rows[:, 1], rows[:, 0]))
     rows = rows[order]
+    mk.mark("resolve")
+    mk.done()
     out = GapOnSA(position=rows[:, 0].astype(np.int32),
                   str_position=rows[:, 1].astype(np.int32),
                   length=rows[:, 2].astype(np.int32),

@@ -121,11 +121,16 @@ def chunked_indices(call, n_items: int, chunk: int = CHUNK,
     return _finish() if fetch else Pending(_finish)
 
 
-def chunked_batch(call, arrays, chunk: int = CHUNK, fetch: bool = True):
+def chunked_batch(call, arrays, chunk: int = CHUNK, fetch: bool = True,
+                  item_div: int = 1):
     """Run ``call(*padded_arrays) -> tuple/list of outputs with leading item axis``
     over pow2-sized chunks of the item axis; returns concatenated outputs sliced
     to the real length.  Dispatches are asynchronous (fetched together at the end),
-    so per-dispatch round-trip latency overlaps with device compute."""
+    so per-dispatch round-trip latency overlaps with device compute.
+
+    ``item_div``: outputs whose leading axis is n/item_div (bit-packed results;
+    every non-final chunk is a pow2 multiple of item_div, so only the final
+    chunk's packed tail holds padding bits, sliced off by the caller)."""
     import jax
 
     n = len(arrays[0])
@@ -140,7 +145,8 @@ def chunked_batch(call, arrays, chunk: int = CHUNK, fetch: bool = True):
     def _finish():
         if not pending:
             return None
-        parts = [[np.asarray(x)[:ni] for x in jax.device_get(res)]
+        parts = [[np.asarray(x)[: -(-ni // item_div)]
+                  for x in jax.device_get(res)]
                  for res, ni in pending]
         return [np.concatenate(cols) for cols in zip(*parts)]
     return _finish() if fetch else Pending(_finish)

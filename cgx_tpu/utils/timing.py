@@ -6,7 +6,33 @@ concept, surfaced as a dict + report, with per-phase HBM high-water marks."""
 from __future__ import annotations
 
 import contextlib
+import os
+import sys
 import time
+
+
+class StageMarks:
+    """Env-gated (``CGX_STAGE_DEBUG=1``) intra-stage wall-clock marks for
+    performance work; zero-cost when disabled."""
+
+    __slots__ = ("enabled", "tag", "last", "parts")
+
+    def __init__(self, tag: str):
+        self.enabled = bool(os.environ.get("CGX_STAGE_DEBUG"))
+        self.tag = tag
+        self.last = time.perf_counter() if self.enabled else 0.0
+        self.parts = []
+
+    def mark(self, name: str):
+        if self.enabled:
+            now = time.perf_counter()
+            self.parts.append((name, now - self.last))
+            self.last = now
+
+    def done(self):
+        if self.enabled and self.parts:
+            print(f"[{self.tag}] " + " ".join(
+                f"{n}:{d:.3f}s" for n, d in self.parts), file=sys.stderr)
 
 
 def device_memory_bytes() -> int:

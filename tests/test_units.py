@@ -136,6 +136,20 @@ def test_maxlex_device_probe_matches_host():
         ml.compute_maxlex_tpu(ta, ix, r, RT(0), RT(0), DEFAULT_CONFIG,
                               use_device=dev)
         outs[name] = (r.max_lex_fge.copy(), r.max_lex_egf.copy())
+    # device range mode (force by shrinking the dense limit; tables re-cached)
+    old_dev = ml.DEV_DENSE_LIMIT
+    try:
+        ml.DEV_DENSE_LIMIT = 0
+        ix._maxlex_dev = None
+        del ix._maxlex_dev
+        r = RT(T)
+        ml.compute_maxlex_tpu(ta, ix, r, RT(0), RT(0), DEFAULT_CONFIG,
+                              use_device=True)
+        outs["device_range"] = (r.max_lex_fge.copy(), r.max_lex_egf.copy())
+    finally:
+        ml.DEV_DENSE_LIMIT = old_dev
+        if hasattr(ix, "_maxlex_dev"):
+            del ix._maxlex_dev
     old = ml.DENSE_LIMIT
     try:
         ml.DENSE_LIMIT = 0          # force the searchsorted host backend
@@ -145,7 +159,7 @@ def test_maxlex_device_probe_matches_host():
         outs["host_sparse"] = (r.max_lex_fge.copy(), r.max_lex_egf.copy())
     finally:
         ml.DENSE_LIMIT = old
-    for name in ("device", "host_sparse"):
+    for name in ("device", "device_range", "host_sparse"):
         np.testing.assert_array_equal(outs["host_dense"][0], outs[name][0])
         np.testing.assert_array_equal(outs["host_dense"][1], outs[name][1])
 

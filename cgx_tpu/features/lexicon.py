@@ -465,6 +465,47 @@ def _dedup(cid, key_rows):
     return first[order], rank[inv.ravel()], counts[order]
 
 
+def _dedup_spans(cid, tgt_str, ts, end, g1=None, g11=None, g2=None, g21=None):
+    """Two-stage (cid, rendered target key) dedup.
+
+    The rendered key row is a pure function of (cid, ts, end, gap offsets), so
+    identical tuples are grouped first with one packed-int64 lexsort — far
+    cheaper than building [n, KEYW] key rows — and the rendering + row-dedup
+    run only on tuple representatives (distinct tuples can still render equal
+    rows, e.g. equal token spans at different positions, so the second stage
+    keeps exact reference semantics).  Returns (first_idx, counts, keys_d):
+    the global first-appearance instance per distinct rule, its duplicate
+    count, and the distinct rendered key rows, in appearance order."""
+    n = len(cid)
+    ts = ts.astype(np.int64)
+    end = end.astype(np.int64)
+    minus1 = np.full(n, -1, np.int64)
+    gs = [(g.astype(np.int64) if g is not None else minus1)
+          for g in (g1, g11, g2, g21)]
+    w1 = (cid.astype(np.int64) << 32) | ts
+    w2 = (end + 16) | ((gs[0] + 16) << 6) | ((gs[1] + 16) << 12) \
+        | ((gs[2] + 16) << 18) | ((gs[3] + 16) << 24)
+    order = np.lexsort((w2, w1))
+    sw1 = w1[order]
+    sw2 = w2[order]
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = (sw1[1:] != sw1[:-1]) | (sw2[1:] != sw2[:-1])
+    starts = np.flatnonzero(new)
+    first = np.minimum.reduceat(order, starts)       # earliest instance/tuple
+    c1 = np.diff(np.concatenate([starts, [n]]))
+    rord = np.argsort(first, kind="stable")          # appearance order
+    rep_idx = first[rord]
+    c1 = c1[rord]
+    keys_rep = _target_key_rows(
+        tgt_str, ts[rep_idx], ts[rep_idx] + end[rep_idx],
+        *(None if g is None else ts[rep_idx] + g.astype(np.int64)[rep_idx]
+          for g in (g1, g11, g2, g21)))
+    first2, inv2, _ = _dedup(cid[rep_idx], keys_rep)
+    counts = np.bincount(inv2, weights=c1.astype(np.float64)).astype(np.int64)
+    return rep_idx[first2], counts, keys_rep[first2]
+
+
 def _render_target(target: TargetCorpus, key_row) -> str:
     parts = []
     for v in key_row:
@@ -494,9 +535,10 @@ def _render_targets(target: TargetCorpus, key_rows) -> list:
 
 
 def _finalize_fast(cids, first_idx, counts, fsample_arr, fs_dist, src_of,
-                   keys, target, cfg):
+                   keys_d, target, cfg, mk=None):
     """Distinct-rule finalization with vectorized feature math: fsample clamp,
-    SampleCountF/CountEF/EgivenFCoherent in the reference's float32 order."""
+    SampleCountF/CountEF/EgivenFCoherent in the reference's float32 order.
+    ``keys_d``: the distinct rendered key rows (row d = distinct rule d)."""
     cid_d = cids[first_idx].astype(np.int64)
     fs = fs_dist.astype(np.int64)
     if cfg.is_sample:
@@ -507,7 +549,11 @@ def _finalize_fast(cids, first_idx, counts, fsample_arr, fs_dist, src_of,
     aa = (-np.log10(ratio)).astype(np.float32)
     bb = np.log10((1 + pc).astype(np.float64)).astype(np.float32)
     f_arr = fsample_arr[cid_d]
-    tgt_strs = _render_targets(target, keys[first_idx])
+    if mk:
+        mk.mark("feat")
+    tgt_strs = _render_targets(target, keys_d)
+    if mk:
+        mk.mark("render")
     n = len(first_idx)
     z = np.zeros(n, np.float32)
     return RuleTable(
@@ -536,9 +582,8 @@ def fast_create_lexicon_contig(contig: ContigRules, source: SourceCorpus,
     cid = contig.blocknumber.astype(np.int64)
     fsample_arr = np.bincount(cid, minlength=G)
     ts = contig.tar_start.astype(np.int64)
-    te = ts + contig.tar_end.astype(np.int64)
-    keys = _target_key_rows(np.asarray(target.str_), ts, te)
-    first_idx, inv, counts = _dedup(cid, keys)
+    first_idx, counts, keys_d = _dedup_spans(
+        cid, np.asarray(target.str_), ts, contig.tar_end.astype(np.int64))
     cid_d = cid[first_idx]
     fs_dist = 1 + blocks.end.astype(np.int64)[cid_d] \
         - blocks.start.astype(np.int64)[cid_d]
@@ -558,7 +603,7 @@ def fast_create_lexicon_contig(contig: ContigRules, source: SourceCorpus,
         tend=contig.tar_end.astype(np.int32)[first_idx],
         g1=m1, g11=m1, g2=m1, g21=m1)
     rules = _finalize_fast(cid, first_idx, counts, fsample_arr, fs_dist,
-                           src_of, keys, target, cfg)
+                           src_of, keys_d, target, cfg)
     return rules, tasks
 
 
@@ -586,6 +631,8 @@ def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
                                onegap_sa: GapOnSA, pc: Precomp, separator: int,
                                cfg: ExtractorConfig):
     """Vectorized createLexiconGappyFast (ExtractPair.c:664-936)."""
+    from cgx_tpu.utils.timing import StageMarks
+    mk = StageMarks("lex1")
     G = len(blocks.start)
     D1 = len(search1.qrystart)
     n = len(rules1.gappy_index)
@@ -596,11 +643,10 @@ def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
     cid = np.where(seg2, 2 * G + gi, gi)
     fsample_arr = np.bincount(cid, minlength=2 * G + D1)
     ts = rules1.ref_str_start.astype(np.int64)
-    te = ts + rules1.end.astype(np.int64)
-    g1s = ts + rules1.gap1.astype(np.int64)
-    g1e = ts + rules1.gap1_1.astype(np.int64)
-    keys = _target_key_rows(np.asarray(target.str_), ts, te, g1s, g1e)
-    first_idx, inv, counts = _dedup(cid, keys)
+    first_idx, counts, keys_d = _dedup_spans(
+        cid, np.asarray(target.str_), ts, rules1.end,
+        rules1.gap1, rules1.gap1_1)
+    mk.mark("dedup")
 
     seg2_d = seg2[first_idx]
     gi_d = gi[first_idx]
@@ -646,8 +692,11 @@ def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
                                               source)[0]
         return src_cache[c]
 
+    mk.mark("tasks")
     rules = _finalize_fast(cid, first_idx, counts, fsample_arr, fs_dist,
-                           src_of, keys, target, cfg)
+                           src_of, keys_d, target, cfg, mk=mk)
+    mk.mark("finalize")
+    mk.done()
     return rules, tasks
 
 
@@ -665,6 +714,8 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
                                sep1: int, sep2: int,
                                cfg: ExtractorConfig):
     """Vectorized createLexiconTwoGapFast (ExtractPair.c:939-1276)."""
+    from cgx_tpu.utils.timing import StageMarks
+    mk = StageMarks("lex2")
     G = len(blocks.start)
     D1 = len(search1.qrystart)
     D2 = len(search2.blockid)
@@ -677,13 +728,10 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
                    np.where(idx < sep2, G + gi, G + D2 + gi))
     fsample_arr = np.bincount(cid, minlength=G + 2 * D1 + D2)
     ts = rules2.ref_str_start.astype(np.int64)
-    te = ts + rules2.end.astype(np.int64)
-    g1s = ts + rules2.gap1.astype(np.int64)
-    g1e = ts + rules2.gap1_1.astype(np.int64)
-    g2s = ts + rules2.gap2.astype(np.int64)
-    g2e = ts + rules2.gap2_1.astype(np.int64)
-    keys = _target_key_rows(np.asarray(target.str_), ts, te, g1s, g1e, g2s, g2e)
-    first_idx, inv, counts = _dedup(cid, keys)
+    first_idx, counts, keys_d = _dedup_spans(
+        cid, np.asarray(target.str_), ts, rules2.end,
+        rules2.gap1, rules2.gap1_1, rules2.gap2, rules2.gap2_1)
+    mk.mark("dedup")
 
     # distinct-rule segments + fsample
     gi_d = gi[first_idx]
@@ -773,6 +821,9 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
         src_cache[c] = s
         return s
 
+    mk.mark("tasks")
     rules = _finalize_fast(cid, first_idx, counts, fsample_arr, fs_dist,
-                           src_of, keys, target, cfg)
+                           src_of, keys_d, target, cfg, mk=mk)
+    mk.mark("finalize")
+    mk.done()
     return rules, tasks

@@ -1,10 +1,23 @@
-"""Measure: random window gathers from a corpus-sized array — XLA gather vs a
+"""Measure: random gathers from a corpus-sized array — XLA gather shapes vs a
 Pallas kernel with the corpus pinned in VMEM (VERDICT round-1 item 5: settle
 the Pallas question with data).
 
 The gappy-lookup and extraction kernels read (MMOV+2)-wide windows of
 refstr/rlp at data-dependent corpus positions; this probe isolates exactly that
-access pattern.
+access pattern, plus single-word random gathers and H2D/D2H transfer rates.
+
+MEASUREMENT CAVEAT (found in round 2): on the axon relay backend
+``block_until_ready()`` returns before the computation's results are
+materialized host-side, so a timing loop that only blocks is off by orders of
+magnitude — every rep here forces a real ``np.asarray`` fetch of the scalar
+checksum.  The round-1 version of this probe lacked that and reported XLA
+window gathers at HBM roofline (~430 GB/s); the corrected numbers put ALL
+gather shapes at ~100-200M gathered words/s (~0.5 GB/s) — the chip has no
+per-lane gather hardware and XLA serializes dynamic addressing, exactly like
+the Pallas per-item path.  Kernel design must therefore minimize gathered
+words per item; transfers move ~40 MB/s (incompressible) each way through the
+relay tunnel, so small uploads beat extra gathers but large per-item column
+uploads do not.
 
 Run on the chip:  python tools/pallas_probe.py [--n 131072] [--corpus 1000000]
 """
@@ -28,6 +41,11 @@ BLK = 512     # items per Pallas grid step
 def xla_gather(ref, pos):
     win = ref[pos[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]]
     return jnp.sum(win, dtype=jnp.int32)
+
+
+@jax.jit
+def xla_scalar_gather(ref, pos):
+    return jnp.sum(ref[pos], dtype=jnp.int32)
 
 
 def pallas_gather_fn(n_items, corpus_len):
@@ -77,11 +95,10 @@ def pallas_gather_fn(n_items, corpus_len):
 
 
 def timeit(fn, *args, reps=10):
-    fn(*args).block_until_ready()          # compile
+    r = np.asarray(fn(*args))              # compile + real fetch
     t0 = time.perf_counter()
     for _ in range(reps):
-        r = fn(*args)
-    r.block_until_ready()
+        r = np.asarray(fn(*args))          # force materialization every rep
     return (time.perf_counter() - t0) / reps, r
 
 
@@ -98,8 +115,12 @@ def main():
                                    size=args.n).astype(np.int32))
 
     t_x, r_x = timeit(xla_gather, ref, pos, reps=args.reps)
+    words = args.n * W
     print(f"xla_gather:    {t_x * 1e3:8.3f} ms  ({args.n} x {W} windows, "
-          f"checksum {int(r_x)})")
+          f"{words / t_x / 1e6:.0f}M words/s, checksum {int(r_x)})")
+    t_s, r_s = timeit(xla_scalar_gather, ref, pos, reps=args.reps)
+    print(f"xla_scalar:    {t_s * 1e3:8.3f} ms  ({args.n} words, "
+          f"{args.n / t_s / 1e6:.0f}M words/s, checksum {int(r_s)})")
 
     try:
         run = pallas_gather_fn(args.n, args.corpus)

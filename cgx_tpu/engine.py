@@ -134,7 +134,7 @@ class ReplicatedEngine:
         offs_d = jnp.asarray(offs_pad.astype(np.int32))
         pending = []
         s = 0
-        for ni in chunk_plan(N, PCS_CHUNK):
+        for ni in chunk_plan(N, PCS_CHUNK, PCS_CHUNK // 8):
             n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
                 else bucket_size(ni)
             pat0 = max(int(np.searchsorted(offs, s, side="right")) - 1, 0)
@@ -179,7 +179,7 @@ class ReplicatedEngine:
                                         *(jnp.asarray(x) for x in a),
                                         ix.offs0, cfg.max_rule_span,
                                         cfg.min_gap_size, fwd),
-            cols, chunk=SCAN_CHUNK, fetch=fetch)
+            cols, chunk=SCAN_CHUNK, fetch=fetch, floor=SCAN_CHUNK // 8)
 
     def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True):
         from cgx_tpu.search.lookup import _two_batch_packed
@@ -205,7 +205,7 @@ class ReplicatedEngine:
                                          ix.offs0, cfg.max_rule_span,
                                          cfg.min_gap_size),
             [css.astype(np.int32), fes.astype(np.int32)],
-            chunk=SCAN_CHUNK, fetch=False)
+            chunk=SCAN_CHUNK, fetch=False, floor=SCAN_CHUNK // 8)
 
         def _post():
             comb = np.asarray(comb_p.get()[0], np.uint32)

@@ -35,8 +35,9 @@ class GrammarIndex:
     lr_tar: jnp.ndarray          # int32 (L << 8) | R — one gather serves both
     tgt_str: jnp.ndarray         # int32 [target toklen]
     lex_key: np.ndarray          # int64 [n_lex] packed (src << 32) | (tgt & mask);
-                                 # kept host-side, moved to device under enable_x64
-                                 # by features.maxlex (int64 needs the x64 mode)
+                                 # host-side; features.maxlex derives its device
+                                 # probe tables (dense matrices or int32 (src,
+                                 # tgt) columns) from it, cached per index
     lex_val1: jnp.ndarray        # float32
     lex_val2: jnp.ndarray
     # host mirrors for host-side stages (MaxLex): the originals are built from
@@ -65,9 +66,11 @@ class GrammarIndex:
 
 @dataclasses.dataclass
 class HostLexIndex:
-    """The host-side slice of the index that MaxLex scoring reads
-    (features.maxlex runs on host by measured choice); lets sharded-index mode
-    skip materializing any full device array."""
+    """The host-side slice of the index that MaxLex scoring reads when it runs
+    its host backend (sharded-index mode / pipeline-overlap worker threads /
+    small batches); lets sharded-index mode skip materializing any full device
+    array.  The replicated pipeline's MaxLex probes run on the chip
+    (features.maxlex device backends)."""
 
     tgt_str_host: np.ndarray
     lex_key: np.ndarray

@@ -53,17 +53,23 @@ CHUNK = 131072
 MIN_CHUNK = 4096  # floor of the pow2 decomposition; below this the tail is padded
 
 
-def chunk_plan(n: int, chunk: int = CHUNK):
+def chunk_plan(n: int, chunk: int = CHUNK, floor: int = MIN_CHUNK):
     """Split n items into power-of-two dispatch sizes: full CHUNKs, then a greedy
-    binary decomposition of the remainder down to MIN_CHUNK, then one bucket-padded
-    tail.  Keeps padding waste < MIN_CHUNK while reusing a fixed set of compiled
-    shapes (every dispatch size is a power of two >= MIN_BUCKET)."""
+    binary decomposition of the remainder down to ``floor``, then one
+    bucket-padded tail.  Keeps padding waste < floor while reusing a fixed set
+    of compiled shapes (every dispatch size is a power of two >= MIN_BUCKET).
+
+    ``floor`` bounds the program-count/padding trade: each distinct dispatch
+    size is a separately compiled (and relay-loaded, ~2s/program on a fresh
+    process) executable, so high-volume kernels with cheap per-item work pass
+    floor=chunk//8 — at most 4 compiled sizes, wasting < floor items of
+    device compute per batch."""
     sizes = []
     while n >= chunk:
         sizes.append(chunk)
         n -= chunk
     size = chunk >> 1
-    while size >= MIN_CHUNK:
+    while size >= floor:
         if n >= size:
             sizes.append(size)
             n -= size
@@ -106,7 +112,7 @@ def chunked_indices(call, n_items: int, chunk: int = CHUNK,
 
     pending = []
     s = 0
-    for ni in chunk_plan(n_items, chunk):
+    for ni in chunk_plan(n_items, chunk, max(chunk // 8, MIN_CHUNK)):
         n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
             else bucket_size(ni)
         pending.append((call(s, n_call), ni))
@@ -122,7 +128,7 @@ def chunked_indices(call, n_items: int, chunk: int = CHUNK,
 
 
 def chunked_batch(call, arrays, chunk: int = CHUNK, fetch: bool = True,
-                  item_div: int = 1):
+                  item_div: int = 1, floor: int = MIN_CHUNK):
     """Run ``call(*padded_arrays) -> tuple/list of outputs with leading item axis``
     over pow2-sized chunks of the item axis; returns concatenated outputs sliced
     to the real length.  Dispatches are asynchronous (fetched together at the end),
@@ -136,7 +142,7 @@ def chunked_batch(call, arrays, chunk: int = CHUNK, fetch: bool = True,
     n = len(arrays[0])
     pending = []
     s = 0
-    for ni in chunk_plan(n, chunk):
+    for ni in chunk_plan(n, chunk, floor):
         piece = [a[s:s + ni] for a in arrays]
         s += ni
         _, *padded = pad_items(*piece)

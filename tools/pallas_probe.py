@@ -94,6 +94,67 @@ def pallas_gather_fn(n_items, corpus_len):
     return run
 
 
+def pallas_pipelined_fn(n_items, corpus_len, k_slots=8):
+    """K-deep pipelined per-item window DMA: each item's [W] window is copied
+    HBM->VMEM straight into its output row by an async DMA; K rotating
+    semaphores keep K copies in flight (the per-item fori variant above waits
+    each copy before issuing the next, so this measures how much outstanding
+    DMA parallelism buys on top of serialized dynamic addressing).
+
+    FINDING: does not compile on this toolchain — Mosaic tiles 1D HBM memrefs
+    at (1024,) and requires DMA slices aligned to the tile, so a 32-word
+    per-item HBM window copy is inexpressible; the aligned alternative
+    overfetches 1024+ words/item, strictly worse than the ~100M words/s
+    serialized gather path.  Outstanding-DMA pipelining is therefore CLOSED as
+    an optimization lever for this access pattern; kept for the record."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = n_items // BLK
+
+    def kernel(pos_sref, hbm_ref, out_ref, sems):
+        base = pl.program_id(0) * BLK
+
+        def dma_for(i, slot):
+            p = pos_sref[base + i]
+            return pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(p, W)],
+                out_ref.at[i, :],
+                sems.at[slot],
+            )
+
+        for k in range(k_slots):      # warm-up: K copies in flight
+            dma_for(k, k).start()
+
+        def loop_body(i, carry):
+            slot = jax.lax.rem(i, k_slots)
+            dma_for(i, slot).wait()
+
+            @pl.when(i + k_slots < BLK)
+            def _():
+                dma_for(i + k_slots, slot).start()
+            return carry
+
+        jax.lax.fori_loop(0, BLK, loop_body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((BLK, W), lambda i, pos: (i, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((k_slots,))],
+    )
+
+    @jax.jit
+    def run(ref, pos):
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_items, W), jnp.int32),
+        )(pos, ref)
+        return jnp.sum(out, dtype=jnp.int32)
+    return run
+
+
 def timeit(fn, *args, reps=10):
     r = np.asarray(fn(*args))              # compile + real fetch
     t0 = time.perf_counter()
@@ -131,6 +192,17 @@ def main():
     except Exception as e:
         print(f"pallas path failed: {type(e).__name__}: {e}")
         sys.exit(1)
+
+    for k in (4, 8, 16):
+        try:
+            run = pallas_pipelined_fn(args.n, args.corpus, k_slots=k)
+            t_k, r_k = timeit(run, ref, pos, reps=args.reps)
+            assert int(r_k) == int(r_x), "checksum mismatch (pipelined)"
+            print(f"pallas_dma[{k:2d}]: {t_k * 1e3:8.3f} ms  "
+                  f"({words / t_k / 1e6:.0f}M words/s, "
+                  f"{t_x / t_k:.2f}x XLA)")
+        except Exception as e:
+            print(f"pallas_dma[{k}] failed: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -211,20 +211,29 @@ def _back_stages(ctx, queries, fr, cfg, t):
     lex_index = ctx["lex_index"]
     blocks, search1, enum1 = fr["blocks"], fr["search1"], fr["enum1"]
     search2, enum2 = fr["search2"], fr["enum2"]
+    from concurrent.futures import ThreadPoolExecutor
     from cgx_tpu.utils.timing import StageMarks
     with t.phase("lexicon"):
         mk = StageMarks("lexicon")
-        rules_one, tasks_one = lx.fast_create_lexicon_onegap(
-            fr["rules1"], source, target, blocks, search1, enum1,
-            fr["onegap_sa"], pc, fr["sep_onegap"], cfg)
-        mk.mark(f"onegap[{len(fr['rules1'].gappy_index)}]")
-        rules_two, tasks_two = lx.fast_create_lexicon_twogap(
-            fr["rules2"], source, target, blocks, search1, enum1, search2,
-            enum2, fr["onegap_sa"], pc, fr["sep1"], fr["sep2"], cfg)
-        mk.mark(f"twogap[{len(fr['rules2'].gappy_index)}]")
-        rules_contig, tasks_contig = lx.fast_create_lexicon_contig(
-            fr["contig"], source, target, blocks, cfg)
-        mk.mark(f"contig[{len(fr['contig'].blocknumber)}]")
+        # the three families are independent and numpy's sorts/uniques release
+        # the GIL, so they run concurrently (wins on multi-core hosts, no-op
+        # semantically — results are per-family)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_one = pool.submit(
+                lx.fast_create_lexicon_onegap, fr["rules1"], source, target,
+                blocks, search1, enum1, fr["onegap_sa"], pc,
+                fr["sep_onegap"], cfg)
+            f_two = pool.submit(
+                lx.fast_create_lexicon_twogap, fr["rules2"], source, target,
+                blocks, search1, enum1, search2, enum2, fr["onegap_sa"], pc,
+                fr["sep1"], fr["sep2"], cfg)
+            rules_contig, tasks_contig = lx.fast_create_lexicon_contig(
+                fr["contig"], source, target, blocks, cfg)
+            rules_one, tasks_one = f_one.result()
+            rules_two, tasks_two = f_two.result()
+        mk.mark(f"families[{len(fr['rules1'].gappy_index)}+"
+                f"{len(fr['rules2'].gappy_index)}+"
+                f"{len(fr['contig'].blocknumber)}]")
         mk.done()
     with t.phase("maxlex"):
         ml.compute_maxlex_tpu(

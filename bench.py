@@ -85,6 +85,11 @@ def main():
                     help="measured repetitions; best query-path time wins")
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--sa-shards", type=int, default=0,
+                    help="run the query path on the fully-sharded index "
+                         "engine over this many devices (with --cpu, set "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                         "for a virtual mesh)")
     ap.add_argument("--query-batches", type=int, default=0,
                     help="run the pipeline-overlap mode with B query batches")
     ap.add_argument("--index-dir", default=None,
@@ -118,8 +123,10 @@ def main():
     def run_once():
         if args.query_batches > 1:
             return tpl.run_pipeline_overlap(*data, cfg, index_dir=index_dir,
-                                            query_batches=args.query_batches)
-        return tpl.run_pipeline(*data, cfg, index_dir=index_dir)
+                                            query_batches=args.query_batches,
+                                            sa_shards=args.sa_shards)
+        return tpl.run_pipeline(*data, cfg, index_dir=index_dir,
+                                sa_shards=args.sa_shards)
 
     warmup_s = -1.0
     if not args.no_warmup:
@@ -190,8 +197,9 @@ def main():
     print(f"bench: vs_baseline is self-referential "
           f"(x{vs:.2f} over our first chip run of {BASELINE_QPS} qry/s)",
           file=sys.stderr)
+    tag = f"_sharded{args.sa_shards}" if args.sa_shards else ""
     print(json.dumps({
-        "metric": f"query_sentences_per_s_{args.size}",
+        "metric": f"query_sentences_per_s_{args.size}{tag}",
         "value": round(qps, 4),
         "unit": "qry/s",
         "vs_baseline": round(vs, 4),

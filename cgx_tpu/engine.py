@@ -213,6 +213,17 @@ class ReplicatedEngine:
                 ((comb >> 16) & 0xFFFF).astype(np.int64)
         return _post() if fetch else Pending(_post)
 
+    def gap_check(self, gostart, fwd, fetch=True):
+        """Precompute gap-consistency windows (search.precompute._gc_batch):
+        [n, MMOV] bool of which forward/backward moves from each occurrence
+        pass the target-side gap check."""
+        from cgx_tpu.search.precompute import _gc_batch
+        ix, cfg = self.index, self.cfg
+        return chunked_batch(
+            lambda g: (_gc_batch(ix.rlp, ix.lr_tar, jnp.asarray(g), ix.offs0,
+                                 cfg.max_rule_span, cfg.min_gap_size, fwd),),
+            [np.asarray(gostart, np.int32)], fetch=fetch)
+
     def contig(self, sa_pos, lm, fetch=True):
         from cgx_tpu.extract.device import _contig_batch
         ix, cfg = self.index, self.cfg

@@ -61,7 +61,14 @@ with warnings.catch_warnings():
     from jax.experimental.shard_map import shard_map  # check_rep supported
 
 MMOV = 16          # scan move width (search.lookup.MMOV)
-DEPTH_CHUNK = 4    # refinement depths per device dispatch
+# refinement depths per device dispatch: an escalating ladder — most query
+# tokens' SA intervals empty within a few depths (longestmatch is short), so
+# early dispatches stay shallow; survivors are batched 16 depths at a time so
+# a qry_max_length=1024 token costs ~66 round trips instead of 256.  Two
+# compiled programs total (depths in {4, 16}).
+DEPTH_CHUNK = 4
+DEPTH_CHUNK_DEEP = 16
+DEPTH_LADDER_SWITCH = 8   # switch to deep chunks once depth >= this
 
 
 def make_mesh(n_devices: int = None, devices=None) -> Mesh:
@@ -330,6 +337,8 @@ def sharded_passes(sidx: ShardedGrammarIndex, queries):
     depth = 0
     max_depth = int(sls.max()) if n else 0
     while alive.any() and depth < max_depth:
+        dchunk = DEPTH_CHUNK if depth < DEPTH_LADDER_SWITCH \
+            else DEPTH_CHUNK_DEEP
         idx = np.flatnonzero(alive)
         nreal, toks_p, sls_p, lo_p, hi_p = pad_items(
             toks[idx], sls[idx], lo[idx], hi[idx])
@@ -337,12 +346,12 @@ def sharded_passes(sidx: ShardedGrammarIndex, queries):
             sidx.sa_l, sidx.ref_l, sidx.rmeta, sidx.smeta, qtok_dev,
             jnp.asarray(toks_p), jnp.asarray(sls_p), jnp.asarray(lo_p),
             jnp.asarray(hi_p), jnp.int32(depth),
-            mesh=sidx.mesh, depths=DEPTH_CHUNK)
+            mesh=sidx.mesh, depths=dchunk)
         ups = np.asarray(ups)[:nreal]
         downs = np.asarray(downs)[:nreal]
         lo2 = np.asarray(lo2)[:nreal]
         hi2 = np.asarray(hi2)[:nreal]
-        for c in range(DEPTH_CHUNK):
+        for c in range(dchunk):
             u = np.full(n, -1, np.int32)
             d = np.full(n, -2, np.int32)
             u[idx] = ups[:, c]
@@ -352,7 +361,7 @@ def sharded_passes(sidx: ShardedGrammarIndex, queries):
         lo[idx] = lo2
         hi[idx] = hi2
         alive[idx] = hi2 > lo2
-        depth += DEPTH_CHUNK
+        depth += dchunk
 
     # longestmatch: deepest depth with a non-empty interval
     lm = np.zeros(n, np.int32)
@@ -408,18 +417,32 @@ class ShardedEngine:
         """Partition items by owner shard, run ``run_one(s, *items_s)`` per
         shard, reassemble outputs in original item order.
 
+        ``run_one`` must return a deferred handle (``Pending``, from
+        ``chunked_batch(..., fetch=False)``): ALL shards' chunks dispatch
+        before any fetch blocks, so the S devices compute concurrently — the
+        sharded analog of the reference saturating its one device
+        (SuffixArray.cu:1374-1378) instead of a 1/S-utilization serial walk.
+
         ``out_shapes``: list of per-item trailing shapes (e.g. () or (MMOV,)).
         Returns list of np arrays [N, *shape].
         """
+        import os
+        serial = bool(os.environ.get("CGX_SHARDED_SERIAL"))  # A/B diagnostic
         sidx = self.sidx
         N = len(pos_key)
         owner = sidx.owner_of(pos_key)
-        outs = None
+        dispatched = []
         for s in range(sidx.S):
             sel = np.flatnonzero(owner == s)
             if not len(sel):
                 continue
-            res = run_one(s, *[a[sel] for a in items])
+            pend = run_one(s, *[a[sel] for a in items])
+            if serial:
+                pend.get()
+            dispatched.append((sel, pend))
+        outs = None
+        for sel, pend in dispatched:
+            res = pend.get()
             if outs is None:
                 outs = [np.zeros((N,) + tuple(np.shape(r)[1:]), r.dtype)
                         for r in res]
@@ -493,7 +516,7 @@ class ShardedEngine:
                 lambda *x: _fwd_batch(ref, rlp, lrt, qt,
                                       *(jnp.asarray(v) for v in x), offs,
                                       cfg.max_rule_span, cfg.min_gap_size),
-                [g, a, b, c])
+                [g, a, b, c], fetch=False)
         return self._partitioned(gostart, [gostart, sl, el, stok], run_one,
                                  [()])
 
@@ -508,7 +531,7 @@ class ShardedEngine:
                 lambda *x: _bwd_batch(ref, rlp, lrt, qt,
                                       *(jnp.asarray(v) for v in x), offs,
                                       cfg.max_rule_span, cfg.min_gap_size),
-                [g, a, b, c])
+                [g, a, b, c], fetch=False)
         return self._partitioned(gostart, [gostart, sl, el, tok], run_one,
                                  [()])
 
@@ -522,7 +545,7 @@ class ShardedEngine:
             return chunked_batch(
                 lambda *x: _pcs_batch(ref, qt, *(jnp.asarray(v) for v in x),
                                       offs, cfg.max_rule_span),
-                list(its))
+                list(its), fetch=False)
         return self._partitioned(pstart, [pstart, plen, sl, el, tok, stok],
                                  run_one, [()])
 
@@ -536,9 +559,30 @@ class ShardedEngine:
                 lambda *x: _two_batch(ref, rlp, lrt,
                                       *(jnp.asarray(v) for v in x), offs,
                                       cfg.max_rule_span, cfg.min_gap_size),
-                [p, q])
+                [p, q], fetch=False)
         return self._partitioned(pstart, [pstart, plen], run_one,
                                  [(), ()])
+
+    def gap_check(self, gostart, fwd, fetch=True):
+        """Owner-computes precompute gap checks (the one device stage of the
+        one-time precompute build): each occurrence's RLP/target window is read
+        on the shard owning its corpus position, so building the artifact with
+        ``sa_shards > 0`` never materializes a replicated O(corpus) device
+        array (reference analog: the build fits the device budget,
+        Start.cu:496 / GappyLook.cu:740-869)."""
+        from cgx_tpu.search.precompute import _gc_batch
+        cfg = self.cfg
+        gostart = np.asarray(gostart, np.int32)
+
+        def run_one(s, g):
+            ref, rlp, lrt, offs = self.sidx.shard_arrays(s)
+            return chunked_batch(
+                lambda x: (_gc_batch(rlp, lrt, jnp.asarray(x), offs,
+                                     cfg.max_rule_span, cfg.min_gap_size,
+                                     fwd),),
+                [g], fetch=False)
+        res = self._partitioned(gostart, [gostart], run_one, [(MMOV,)])
+        return res if fetch else Pending(lambda: res)
 
     # -- extraction kernels ------------------------------------------------
     def contig(self, sa_pos, lm, fetch=True):
@@ -553,7 +597,7 @@ class ShardedEngine:
                                              *(jnp.asarray(v) for v in x),
                                              offs, cfg.max_rule_span,
                                              cfg.max_rule_symbols),
-                [c, l])
+                [c, l], fetch=False)
         res = self._partitioned(cs_all, [cs_all, np.asarray(lm, np.int32)],
                                 run_one, [()] * 8)
         return res if fetch else Pending(lambda: res)
@@ -569,7 +613,7 @@ class ShardedEngine:
                                          *(jnp.asarray(v) for v in x), offs,
                                          cfg.max_rule_span,
                                          cfg.max_rule_symbols),
-                list(its))
+                list(its), fetch=False)
         res = self._partitioned(css, [css, fes, sls, els], run_one, [()] * 6)
         return res if fetch else Pending(lambda: res)
 
@@ -583,7 +627,7 @@ class ShardedEngine:
                 lambda *x: _twogap_batch(ref, rlp, lrt,
                                          *(jnp.asarray(v) for v in x), offs,
                                          cfg.max_rule_span),
-                list(its))
+                list(its), fetch=False)
         res = self._partitioned(css, [css, fes, ses, sls, els, cls],
                                 run_one, [()] * 2)
         return res if fetch else Pending(lambda: res)

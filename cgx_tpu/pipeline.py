@@ -52,22 +52,27 @@ class PipelineResult:
 def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
                    cfg: ExtractorConfig = DEFAULT_CONFIG,
                    timing: PhaseTimer = None, index_dir: str = None,
-                   device_index: bool = True):
-    """One-time corpus preprocessing -> (artifact, device GrammarIndex).
-    With ``index_dir``, loads a previously persisted artifact when present and
-    persists a fresh build otherwise (build-once / query-many).
-    ``device_index=False`` (sharded-index mode) skips/releases the fully
-    replicated device placement — only the one-time fresh build touches it
-    (the precompute pass), never the query path."""
+                   sa_shards: int = 0):
+    """One-time corpus preprocessing -> (artifact, device GrammarIndex,
+    timing, sharded_ctx).  With ``index_dir``, loads a previously persisted
+    artifact when present and persists a fresh build otherwise (build-once /
+    query-many).
+
+    ``sa_shards > 0``: the build NEVER materializes a replicated O(corpus)
+    device array — the precompute gap checks run owner-computes on the
+    sharded engine (reference analog: the whole build fits the device budget,
+    Start.cu:496).  Returns the already-built (sidx, engine) as
+    ``sharded_ctx`` so the query path reuses the device placement."""
     import os
     t = timing or PhaseTimer()
     if index_dir and os.path.exists(os.path.join(index_dir, "meta.json")):
         with t.phase("indexload"):
             art, _built_cfg = index_io.load(index_dir)
         with t.phase("qrysin"):
-            index = (ic.build_index(art.source, art.target, art.sa, art.align,
-                                    art.lex, cfg) if device_index else None)
-        return art, index, t
+            index = (None if sa_shards else
+                     ic.build_index(art.source, art.target, art.sa, art.align,
+                                    art.lex, cfg))
+        return art, index, t, None
     with t.phase("refsin"):
         source = (cp.load_source_corpus_text(f_lines) if isinstance(f_lines, str)
                   else cp.load_source_corpus(f_lines))
@@ -77,18 +82,28 @@ def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
         lex = cp.load_lex_table(lex_tokens, source.vocab, target.vocab)
     with t.phase("suffixarray"):
         sa = sab.build_index(source.str_)
-    with t.phase("qrysin"):
-        index = ic.build_index(source, target, sa, align, lex, cfg)
-    with t.phase("precompute"):
-        pc = pcx.precompute_tpu(index, source, sa, cfg)
+    sharded_ctx = None
+    if sa_shards:
+        from cgx_tpu.parallel import sharded as shx
+        with t.phase("qrysin"):
+            sidx = shx.build_sharded_index(source, target, sa, align, cfg,
+                                           n_devices=sa_shards)
+            engine = shx.ShardedEngine(sidx, cfg)
+        with t.phase("precompute"):
+            pc = pcx.precompute_tpu(None, source, sa, cfg, engine=engine)
+        index = None
+        sharded_ctx = (sidx, engine)
+    else:
+        with t.phase("qrysin"):
+            index = ic.build_index(source, target, sa, align, lex, cfg)
+        with t.phase("precompute"):
+            pc = pcx.precompute_tpu(index, source, sa, cfg)
     art = index_io.CorpusIndexArtifact(source=source, target=target,
                                        align=align, lex=lex, sa=sa, precomp=pc)
     if index_dir:
         with t.phase("indexsave"):
             index_io.save(index_dir, art, cfg)
-    if not device_index:
-        index = None   # release the replicated device arrays (build-time only)
-    return art, index, t
+    return art, index, t, sharded_ctx
 
 
 def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
@@ -100,10 +115,10 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     that many devices (parallel.sharded) for corpora beyond single-chip HBM;
     there is no replicated O(corpus) device array and no host-SA read anywhere
     in the query path (SA values come from distributed gathers)."""
-    art, index, t = build_artifact(f_lines, e_lines, a_lines, lex_tokens, cfg,
-                                   timing, index_dir,
-                                   device_index=(sa_shards == 0))
-    ctx = _make_context(art, index, t, cfg, sa_shards)
+    art, index, t, shc = build_artifact(f_lines, e_lines, a_lines, lex_tokens,
+                                        cfg, timing, index_dir,
+                                        sa_shards=sa_shards)
+    ctx = _make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc)
     with t.phase("qrysload"):
         queries = cp.load_queries(q_lines, art.source.vocab)
     front = _front_stages(ctx, queries, cfg, t)
@@ -112,17 +127,21 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
                           counters=counters, timing=t)
 
 
-def _make_context(art, index, t, cfg, sa_shards):
+def _make_context(art, index, t, cfg, sa_shards, sharded_ctx=None):
     """Engine + index handles shared by every query batch."""
     ctx = dict(art=art, index=index, source=art.source, target=art.target,
                sa=art.sa, pc=art.precomp)
     if sa_shards:
         from cgx_tpu.parallel import sharded as shx
         with t.phase("qrysin"):
-            sidx = shx.build_sharded_index(art.source, art.target, art.sa,
-                                           art.align, cfg,
-                                           n_devices=sa_shards)
-            ctx["engine"] = shx.ShardedEngine(sidx, cfg)
+            if sharded_ctx is not None:
+                sidx, engine = sharded_ctx   # built by build_artifact
+            else:
+                sidx = shx.build_sharded_index(art.source, art.target, art.sa,
+                                               art.align, cfg,
+                                               n_devices=sa_shards)
+                engine = shx.ShardedEngine(sidx, cfg)
+            ctx["engine"] = engine
             ctx["sidx"] = sidx
             ctx["lex_index"] = ic.build_host_lex_index(art.target, art.lex)
             ctx["sa_values"] = ctx["engine"].sa_values
@@ -285,10 +304,10 @@ def run_pipeline_overlap(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     invariant the multi-host split relies on, enforced by tests)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    art, index, t = build_artifact(f_lines, e_lines, a_lines, lex_tokens, cfg,
-                                   timing, index_dir,
-                                   device_index=(sa_shards == 0))
-    ctx = _make_context(art, index, t, cfg, sa_shards)
+    art, index, t, shc = build_artifact(f_lines, e_lines, a_lines, lex_tokens,
+                                        cfg, timing, index_dir,
+                                        sa_shards=sa_shards)
+    ctx = _make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc)
     with t.phase("qrysload"):
         all_q = list(q_lines)
     B = max(1, min(query_batches, len(all_q)))

@@ -109,7 +109,10 @@ def top_tokens(source: SourceCorpus, sa: SAIndex, cfg: ExtractorConfig):
 
 
 def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
-                   cfg: ExtractorConfig) -> Precomp:
+                   cfg: ExtractorConfig, engine=None) -> Precomp:
+    """``engine`` (cgx_tpu.engine protocol) dispatches the gap-check stage;
+    when given, ``index`` may be None — sharded-index builds run the checks
+    owner-computes on the mesh and never touch a replicated device index."""
     tokens, counts, run_start = top_tokens(source, sa, cfg)
     P = len(tokens)
     mrs, mgs = cfg.max_rule_span, cfg.min_gap_size
@@ -131,10 +134,13 @@ def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
         live = np.flatnonzero(owns.any(axis=1))
         if not len(live):
             continue
-        gc = chunked_batch(
-            lambda g: (_gc_batch(index.rlp, index.lr_tar,
-                                 jnp.asarray(g), index.offs0, mrs, mgs, fwd),),
-            [gostart[live]])[0]
+        if engine is not None:
+            gc = engine.gap_check(gostart[live], fwd)[0]
+        else:
+            gc = chunked_batch(
+                lambda g: (_gc_batch(index.rlp, index.lr_tar, jnp.asarray(g),
+                                     index.offs0, mrs, mgs, fwd),),
+                [gostart[live]])[0]
         ii_l, mm = np.nonzero(owns[live])
         ii = live[ii_l]
         hit = gc[ii_l, mm]

@@ -74,18 +74,15 @@ class ReplicatedEngine:
         self.index = index
         self.sa_host = sa_host
         self.cfg = cfg
-        self._qtok_cache = {}
 
     def sa_values(self, rows) -> np.ndarray:
         return self.sa_host[np.asarray(rows, np.int64)].astype(np.int32)
 
-    def _qtok_host(self, queries) -> np.ndarray:
-        """Padded host query tokens (safe for +2 lookahead indexing)."""
-        key = id(queries)
-        if key not in self._qtok_cache:
-            from cgx_tpu.search.passes import pad_query_tokens
-            self._qtok_cache[key] = pad_query_tokens(queries.tokens)
-        return self._qtok_cache[key]
+    @staticmethod
+    def _qtok_host(queries) -> np.ndarray:
+        """Padded host query tokens (safe for +2 lookahead indexing); cached
+        on the QuerySet instance (lifetime-tied, no id() aliasing)."""
+        return queries.padded_tokens()
 
     def _pc_rows_dev(self, pc):
         """Device-cached [n_pc, 2] (start, len) precomp occurrence rows."""

@@ -483,6 +483,13 @@ def _dedup_spans(cid, tgt_str, ts, end, g1=None, g11=None, g2=None, g21=None):
     gs = [(g.astype(np.int64) if g is not None else minus1)
           for g in (g1, g11, g2, g21)]
     w1 = (cid.astype(np.int64) << 32) | ts
+    # 6-bit fields are collision-free only while every offset is in [-16, 47]
+    # — guaranteed by ExtractorConfig's max_rule_span <= 15 validation; guard
+    # the packing width against a future relaxation of that bound
+    if n:
+        assert all(int(x.min()) >= -16 and int(x.max()) <= 47
+                   for x in (end, *gs)), \
+            "_dedup_spans 6-bit packing requires offsets in [-16, 47]"
     w2 = (end + 16) | ((gs[0] + 16) << 6) | ((gs[1] + 16) << 12) \
         | ((gs[2] + 16) << 18) | ((gs[3] + 16) << 24)
     order = np.lexsort((w2, w1))

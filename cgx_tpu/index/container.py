@@ -45,14 +45,9 @@ class GrammarIndex:
     tgt_str_host: np.ndarray = None
     lex_val1_host: np.ndarray = None
     lex_val2_host: np.ndarray = None
-    _qtok_cache: dict = dataclasses.field(default_factory=dict)
-
     def device_query_tokens(self, queries: QuerySet) -> jnp.ndarray:
-        key = id(queries)
-        if key not in self._qtok_cache:
-            self._qtok_cache[key] = jnp.asarray(
-                passes.pad_query_tokens(queries.tokens))
-        return self._qtok_cache[key]
+        # cached on the QuerySet instance (lifetime-tied, no id() aliasing)
+        return queries.device_tokens()
 
     @property
     def offs0(self):

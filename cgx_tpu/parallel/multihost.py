@@ -16,9 +16,19 @@ replicated corpus index, the natural layout for per-query grammar-file output:
 * global rule/line counts reduce with ``multihost_utils.process_allgather``.
 
 Single-process fallback: with one process this degenerates to the plain
-pipeline.  Composing multi-host query-DP with the sharded-index engine
-(parallel.sharded) is future work: the owner-computes dispatch currently
-assumes all index shards are addressable from one process.
+pipeline.
+
+Composed mode (``sa_shards > 0`` with >1 process): the index shards span the
+GLOBAL device set — each process addresses only its own devices' shards, so
+corpora beyond one HOST's total HBM become queryable.  Queries are replicated
+through the device path (the interval-refinement search is a lockstep
+collective over the global mesh), device work is split by shard ownership
+(each process dispatches only its local shards' work items,
+``sharded.ShardedEngine._partitioned``), and the owned rows exchange with one
+sum-allgather per kernel output.  Host scoring is replicated per process;
+each process still writes only its contiguous slice of grammar files.  The
+one-time build runs in lockstep on every process (same deterministic inputs
+=> same collective sequence); only process 0 persists the artifact.
 """
 
 from __future__ import annotations
@@ -69,23 +79,27 @@ def run_multihost(f_lines, e_lines, a_lines, lex_tokens, q_lines, dest_dir,
     global_line_count)."""
     from cgx_tpu import pipeline as tpl
 
-    if index_dir and jax.process_index() != 0:
+    composed = sa_shards > 0 and jax.process_count() > 1
+    if index_dir and jax.process_index() != 0 and not composed:
+        # composed mode builds in lockstep instead (collective build kernels)
         _wait_for_artifact(index_dir)
     n = len(q_lines)
     lo, hi = query_slice(n)
+    run_q = q_lines if composed else q_lines[lo:hi]
     res = tpl.run_pipeline(f_lines, e_lines, a_lines, lex_tokens,
-                           q_lines[lo:hi], cfg, index_dir=index_dir,
+                           run_q, cfg, index_dir=index_dir,
                            sa_shards=sa_shards)
     os.makedirs(dest_dir, exist_ok=True)
     suffix = "s" if cfg.is_sample else "n"
-    for q_local, lines in enumerate(res.per_query_lines):
-        path = os.path.join(dest_dir, f"grammar.{lo + q_local}.{suffix}")
+    for q_global in range(lo, hi):
+        lines = res.per_query_lines[q_global if composed else q_global - lo]
+        path = os.path.join(dest_dir, f"grammar.{q_global}.{suffix}")
         with open(path, "w", encoding="utf-8") as fh:
             fh.write("\n".join(lines))
             if lines:
                 fh.write("\n")
     total_lines = res.counters["total_lines"]
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 and not composed:
         from jax.experimental import multihost_utils
         all_counts = multihost_utils.process_allgather(
             np.asarray([total_lines], np.int64))

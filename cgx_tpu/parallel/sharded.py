@@ -98,19 +98,27 @@ class ShardedGrammarIndex:
     smeta: jax.Array     # int32 [S, 1, 3] (src_off, own_lo, own_hi), sharded
     # per-shard device-local handles (populated lazily)
     _shards: dict = dataclasses.field(default_factory=dict)
-    _qtok_cache: dict = dataclasses.field(default_factory=dict)
 
     def owner_of(self, pos: np.ndarray) -> np.ndarray:
         """Owning shard of a corpus position (uniform chunks)."""
         return np.clip(np.asarray(pos, np.int64) // self.B, 0, self.S - 1)
 
+    def local_shards(self) -> list:
+        """Global shard ids whose device is addressable from this process
+        (all of them single-process; a partition of [0, S) across hosts in a
+        multi-process run)."""
+        return sorted((sh.index[0].start or 0)
+                      for sh in self.sa_l.addressable_shards)
+
     def shard_arrays(self, s: int):
-        """(ref, rlp, lrt, offs) device-local views for shard ``s``."""
+        """(ref, rlp, lrt, offs) device-local views for shard ``s`` (must be
+        locally addressable — see ``local_shards``)."""
         if s not in self._shards:
             def piece(arr):
-                shards = sorted(arr.addressable_shards,
-                                key=lambda sh: sh.index[0].start or 0)
-                return shards[s].data.reshape(shards[s].data.shape[1:])
+                for sh in arr.addressable_shards:
+                    if (sh.index[0].start or 0) == s:
+                        return sh.data.reshape(sh.data.shape[1:])
+                raise KeyError(f"shard {s} is not addressable here")
             offs = (jnp.int32(self.src_off[s]), jnp.int32(self.tgt_off[s]),
                     jnp.int32(self.ref_glen), jnp.int32(self.rlp_glen),
                     jnp.int32(self.tgt_glen))
@@ -122,11 +130,8 @@ class ShardedGrammarIndex:
         return self.mesh.devices.reshape(-1)[s]
 
     def qtok_on(self, s: int, queries):
-        key = (s, id(queries))
-        if key not in self._qtok_cache:
-            self._qtok_cache[key] = jax.device_put(
-                passes.pad_query_tokens(queries.tokens), self.device_of(s))
-        return self._qtok_cache[key]
+        # cached on the QuerySet instance per device (lifetime-tied)
+        return queries.device_tokens(self.device_of(s))
 
     def memory_per_device(self) -> dict:
         """Bytes of index state per device (the beyond-HBM story in numbers)."""
@@ -215,16 +220,26 @@ def build_sharded_index(source, target, sa, align, cfg: ExtractorConfig,
     rmeta = np.stack([rstart, rcount], axis=1).astype(np.int32)[:, None, :]
     smeta = np.stack([src_off, own_lo, own_hi], axis=1).astype(
         np.int32)[:, None, :]
+
+    def dput(host):
+        # multi-process: the mesh spans devices this process cannot address;
+        # materialize only the locally-owned rows (each host computes the
+        # same global slices deterministically)
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(host.shape, shard,
+                                                lambda idx: host[idx])
+        return jax.device_put(host, shard)
+
     return ShardedGrammarIndex(
         mesh=mesh, S=S, reflen=reflen, ref_glen=ref_glen, rlp_glen=rlp_glen,
         tgt_glen=tgt_glen, B=B, BR=BR, BH=BH,
-        sa_l=jax.device_put(sa_l, shard),
-        ref_l=jax.device_put(ref_l, shard),
-        rlp_l=jax.device_put(rlp_l, shard),
-        lrt_l=jax.device_put(lrt_l, shard),
+        sa_l=dput(sa_l),
+        ref_l=dput(ref_l),
+        rlp_l=dput(rlp_l),
+        lrt_l=dput(lrt_l),
         src_off=src_off, tgt_off=tgt_lo,
-        rmeta=jax.device_put(rmeta, shard),
-        smeta=jax.device_put(smeta, shard))
+        rmeta=dput(rmeta),
+        smeta=dput(smeta))
 
 
 # ---------------------------------------------------------------------------
@@ -328,7 +343,7 @@ def sharded_passes(sidx: ShardedGrammarIndex, queries):
                     dtype=np.int32)
     toks = np.arange(n, dtype=np.int32)
     sls = ends - toks
-    qtok_dev = jnp.asarray(passes.pad_query_tokens(queries.tokens))
+    qtok_dev = jnp.asarray(queries.padded_tokens())
 
     lo = np.zeros(n, np.int32)
     hi = np.full(n, sidx.reflen, np.int32)
@@ -413,7 +428,7 @@ class ShardedEngine:
     def sa_values(self, rows: np.ndarray) -> np.ndarray:
         return gather_sa(self.sidx, rows)
 
-    def _partitioned(self, pos_key, items, run_one, out_shapes):
+    def _partitioned(self, pos_key, items, run_one, out_specs):
         """Partition items by owner shard, run ``run_one(s, *items_s)`` per
         shard, reassemble outputs in original item order.
 
@@ -423,16 +438,25 @@ class ShardedEngine:
         sharded analog of the reference saturating its one device
         (SuffixArray.cu:1374-1378) instead of a 1/S-utilization serial walk.
 
-        ``out_shapes``: list of per-item trailing shapes (e.g. () or (MMOV,)).
+        Multi-host composition: only locally-addressable shards dispatch here;
+        every process runs the same deterministic item list (queries are
+        replicated through the device path), fills the rows its shards own,
+        and the rows exchange with one sum-allgather per output (each row is
+        owned by exactly one process; the others contribute zeros).
+
+        ``out_specs``: list of (trailing_shape, dtype) per output.
         Returns list of np arrays [N, *shape].
         """
         import os
         serial = bool(os.environ.get("CGX_SHARDED_SERIAL"))  # A/B diagnostic
         sidx = self.sidx
         N = len(pos_key)
+        outs = [np.zeros((N,) + tuple(sh), dt) for sh, dt in out_specs]
+        if N == 0:
+            return outs
         owner = sidx.owner_of(pos_key)
         dispatched = []
-        for s in range(sidx.S):
+        for s in sidx.local_shards():
             sel = np.flatnonzero(owner == s)
             if not len(sel):
                 continue
@@ -440,17 +464,14 @@ class ShardedEngine:
             if serial:
                 pend.get()
             dispatched.append((sel, pend))
-        outs = None
         for sel, pend in dispatched:
-            res = pend.get()
-            if outs is None:
-                outs = [np.zeros((N,) + tuple(np.shape(r)[1:]), r.dtype)
-                        for r in res]
-            for o, r in zip(outs, res):
+            for o, r in zip(outs, pend.get()):
                 o[sel] = r
-        if outs is None:
-            outs = [np.zeros((N,) + tuple(sh), np.int32)
-                    for sh in out_shapes]
+        import jax as _jax
+        if _jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            outs = [np.asarray(multihost_utils.process_allgather(o))
+                    .sum(axis=0).astype(o.dtype) for o in outs]
         return outs
 
     # -- expanded entry points: ownership needs per-item positions anyway, so
@@ -518,7 +539,7 @@ class ShardedEngine:
                                       cfg.max_rule_span, cfg.min_gap_size),
                 [g, a, b, c], fetch=False)
         return self._partitioned(gostart, [gostart, sl, el, stok], run_one,
-                                 [()])
+                                 [((), np.int32)])
 
     def bwd(self, queries, gostart, sl, el, tok):
         from cgx_tpu.search.lookup import _bwd_batch
@@ -533,7 +554,7 @@ class ShardedEngine:
                                       cfg.max_rule_span, cfg.min_gap_size),
                 [g, a, b, c], fetch=False)
         return self._partitioned(gostart, [gostart, sl, el, tok], run_one,
-                                 [()])
+                                 [((), np.int32)])
 
     def pcs(self, queries, pstart, plen, sl, el, tok, stok):
         from cgx_tpu.search.lookup import _pcs_batch
@@ -547,7 +568,7 @@ class ShardedEngine:
                                       offs, cfg.max_rule_span),
                 list(its), fetch=False)
         return self._partitioned(pstart, [pstart, plen, sl, el, tok, stok],
-                                 run_one, [()])
+                                 run_one, [((), bool)])
 
     def two(self, pstart, plen):
         from cgx_tpu.search.lookup import _two_batch
@@ -561,7 +582,7 @@ class ShardedEngine:
                                       cfg.max_rule_span, cfg.min_gap_size),
                 [p, q], fetch=False)
         return self._partitioned(pstart, [pstart, plen], run_one,
-                                 [(), ()])
+                                 [((), np.int32)] * 2)
 
     def gap_check(self, gostart, fwd, fetch=True):
         """Owner-computes precompute gap checks (the one device stage of the
@@ -581,7 +602,8 @@ class ShardedEngine:
                                      cfg.max_rule_span, cfg.min_gap_size,
                                      fwd),),
                 [g], fetch=False)
-        res = self._partitioned(gostart, [gostart], run_one, [(MMOV,)])
+        res = self._partitioned(gostart, [gostart], run_one,
+                                [((MMOV,), bool)])
         return res if fetch else Pending(lambda: res)
 
     # -- extraction kernels ------------------------------------------------
@@ -599,7 +621,7 @@ class ShardedEngine:
                                              cfg.max_rule_symbols),
                 [c, l], fetch=False)
         res = self._partitioned(cs_all, [cs_all, np.asarray(lm, np.int32)],
-                                run_one, [()] * 8)
+                                run_one, [((), np.int32)] * 8)
         return res if fetch else Pending(lambda: res)
 
     def onegap(self, css, fes, sls, els, fetch=True):
@@ -614,7 +636,8 @@ class ShardedEngine:
                                          cfg.max_rule_span,
                                          cfg.max_rule_symbols),
                 list(its), fetch=False)
-        res = self._partitioned(css, [css, fes, sls, els], run_one, [()] * 6)
+        res = self._partitioned(css, [css, fes, sls, els], run_one,
+                                [((), np.int32)] * 6)
         return res if fetch else Pending(lambda: res)
 
     def twogap(self, css, fes, ses, sls, els, cls, fetch=True):
@@ -629,5 +652,5 @@ class ShardedEngine:
                                          cfg.max_rule_span),
                 list(its), fetch=False)
         res = self._partitioned(css, [css, fes, ses, sls, els, cls],
-                                run_one, [()] * 2)
+                                run_one, [((), np.int32)] * 2)
         return res if fetch else Pending(lambda: res)

@@ -100,7 +100,10 @@ def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
             pc = pcx.precompute_tpu(index, source, sa, cfg)
     art = index_io.CorpusIndexArtifact(source=source, target=target,
                                        align=align, lex=lex, sa=sa, precomp=pc)
-    if index_dir:
+    import jax as _jax
+    if index_dir and _jax.process_index() == 0:
+        # multi-host composed builds run in lockstep on every process;
+        # exactly one persists the artifact
         with t.phase("indexsave"):
             index_io.save(index_dir, art, cfg)
     return art, index, t, sharded_ctx

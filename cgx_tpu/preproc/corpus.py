@@ -154,6 +154,28 @@ class QuerySet:
         """The device layout [offsets..., tokens...] used by every reference kernel."""
         return np.concatenate([self.offsets, self.tokens]).astype(np.int32)
 
+    def padded_tokens(self) -> np.ndarray:
+        """Host query tokens padded for +2 lookahead indexing.  Cached on the
+        instance (not an id()-keyed engine dict) so the cache's lifetime is
+        the query set's — no address-reuse aliasing in long-lived servers."""
+        pt = self.__dict__.get("_padded_tokens")
+        if pt is None:
+            from cgx_tpu.search.passes import pad_query_tokens
+            pt = self.__dict__["_padded_tokens"] = pad_query_tokens(self.tokens)
+        return pt
+
+    def device_tokens(self, placement=None):
+        """``padded_tokens`` as a device array, cached per placement on the
+        instance (None = default device; or a specific jax.Device)."""
+        cache = self.__dict__.setdefault("_device_tokens", {})
+        if placement not in cache:
+            import jax
+            import jax.numpy as jnp
+            pt = self.padded_tokens()
+            cache[placement] = (jnp.asarray(pt) if placement is None
+                                else jax.device_put(pt, placement))
+        return cache[placement]
+
 
 def load_queries(lines, vocab: Vocab) -> QuerySet:
     offsets: list = []

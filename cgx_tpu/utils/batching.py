@@ -20,11 +20,11 @@ def bucket_size(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def pad_items(*arrays):
-    """Pad each array's leading axis to the common bucket size by repeating row 0.
-    Returns (n_real, padded_arrays...)."""
+def pad_items(*arrays, floor: int = 0):
+    """Pad each array's leading axis to the common bucket size (at least
+    ``floor``) by repeating row 0.  Returns (n_real, padded_arrays...)."""
     n = len(arrays[0])
-    m = bucket_size(n)
+    m = max(bucket_size(n), floor)
     if m == n:
         return (n,) + tuple(np.ascontiguousarray(a) for a in arrays)
     out = []
@@ -55,15 +55,18 @@ MIN_CHUNK = 4096  # floor of the pow2 decomposition; below this the tail is padd
 
 def chunk_plan(n: int, chunk: int = CHUNK, floor: int = MIN_CHUNK):
     """Split n items into power-of-two dispatch sizes: full CHUNKs, then a greedy
-    binary decomposition of the remainder down to ``floor``, then one
-    bucket-padded tail.  Keeps padding waste < floor while reusing a fixed set
-    of compiled shapes (every dispatch size is a power of two >= MIN_BUCKET).
+    binary decomposition of the remainder down to ``floor``, then one tail
+    (padded up to ``floor`` by the dispatchers below).
 
     ``floor`` bounds the program-count/padding trade: each distinct dispatch
     size is a separately compiled (and relay-loaded, ~2s/program on a fresh
-    process) executable, so high-volume kernels with cheap per-item work pass
-    floor=chunk//8 — at most 4 compiled sizes, wasting < floor items of
-    device compute per batch."""
+    process) executable.  When the caller raises ``floor`` above the default
+    (high-volume light kernels), the tail also pads to ``floor`` and the
+    compiled-shape set is EXACTLY the ladder {chunk, chunk/2, ..., floor} —
+    e.g. floor=chunk//8 gives at most 4 shapes — at a cost of < floor items
+    of wasted device compute per batch.  At the default floor the tail uses
+    pow2 buckets >= MIN_BUCKET (several more shapes, but no floor-x padding
+    for heavy per-item kernels at small batch sizes)."""
     sizes = []
     while n >= chunk:
         sizes.append(chunk)
@@ -110,11 +113,12 @@ def chunked_indices(call, n_items: int, chunk: int = CHUNK,
     lives inside the last packed word and is sliced off by the caller)."""
     import jax
 
+    floor = max(chunk // 8, MIN_CHUNK)
     pending = []
     s = 0
-    for ni in chunk_plan(n_items, chunk, max(chunk // 8, MIN_CHUNK)):
-        n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
-            else bucket_size(ni)
+    for ni in chunk_plan(n_items, chunk, floor):
+        n_call = ni if (ni & (ni - 1)) == 0 and ni >= floor \
+            else max(bucket_size(ni), floor)
         pending.append((call(s, n_call), ni))
         s += ni
     def _finish():
@@ -142,10 +146,15 @@ def chunked_batch(call, arrays, chunk: int = CHUNK, fetch: bool = True,
     n = len(arrays[0])
     pending = []
     s = 0
+    # High-volume light kernels (floor raised above the default) pad their
+    # tail up to the floor: the compiled-shape set is then exactly the ladder
+    # {chunk..floor}.  The default floor keeps pow2 tail buckets (heavy
+    # per-item kernels at small batch sizes shouldn't pay floor-x padding).
+    tail_floor = floor if floor > MIN_CHUNK else 0
     for ni in chunk_plan(n, chunk, floor):
         piece = [a[s:s + ni] for a in arrays]
         s += ni
-        _, *padded = pad_items(*piece)
+        _, *padded = pad_items(*piece, floor=tail_floor)
         pending.append((call(*padded), ni))   # async dispatch; fetch later
 
     def _finish():

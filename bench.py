@@ -39,6 +39,12 @@ SIZES = {
     "medium": (20000, 32),
     "large": (100000, 64),
     "europarl": (1000000, 64),   # Europarl-scale: ~7.5M source tokens, 20k vocab
+    # adversarial realism: non-monotone alignments (reversed windows), 1:N
+    # fan-out, N:1 lending, ~30% unaligned — the consistency kill paths fire
+    "hard": (100000, 64),
+    # whole-test-set batches (the reference's allqueries.txt use case)
+    "medium512": (20000, 512),
+    "large512": (100000, 512),
 }
 
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -47,14 +53,19 @@ GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def build_corpus(size: str, n_sentences: int, n_queries: int,
                  seed: int = 20260817):
+    sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tools")
     if size == "europarl":
-        sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tools")
         from tools.make_bigcorpus import make_big_corpus, make_big_queries
         f_text, e_text, a_lines, lex_tokens = make_big_corpus(
             n_sentences, vocab=20000, seed=seed)
         q_lines = make_big_queries(f_text, n_queries)
         return f_text, e_text, a_lines, lex_tokens, q_lines
-    sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tools")
+    if size == "hard":
+        from tools.make_bigcorpus import make_hard_corpus, make_big_queries
+        f_text, e_text, a_lines, lex_tokens = make_hard_corpus(
+            n_sentences, vocab=20000)
+        q_lines = make_big_queries(f_text, n_queries)
+        return f_text, e_text, a_lines, lex_tokens, q_lines
     from tools import make_fixture as mf
 
     rng = random.Random(seed)
@@ -117,8 +128,11 @@ def main():
     cfg = DEFAULT_CONFIG
 
     index_dir = args.index_dir
-    if index_dir is None and args.size in ("large", "europarl"):
-        index_dir = f"/tmp/cgx_bench_index_{args.size}"
+    if index_dir is None and args.size in ("large", "europarl", "hard",
+                                           "large512"):
+        # large512 shares large's corpus (same generator seed) => same index
+        key = "large" if args.size == "large512" else args.size
+        index_dir = f"/tmp/cgx_bench_index_{key}"
 
     def run_once():
         if args.query_batches > 1:

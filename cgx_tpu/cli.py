@@ -117,10 +117,17 @@ def main(argv=None) -> int:
     print(f"total: {wall:.3f}s", file=sys.stderr)
     if args.timefile:
         # recordTime analog (Start.cu:392-469): one appended line per run with
-        # the phase buckets
+        # the phase buckets.  Multi-host runs also append the per-phase MAX
+        # across ALL processes (the critical path), so the timefile reflects
+        # the whole job, not just this process's local run.
         with open(args.timefile, "a", encoding="utf-8") as fh:
             if res is not None:
-                fh.write(f"wall: {wall:.6f}s , {res.timing.report()}\n")
+                line = f"wall: {wall:.6f}s , {res.timing.report()}"
+                gmax = getattr(res.timing, "global_phase_max", None)
+                if gmax:
+                    line += " | global max-across-processes: " + " , ".join(
+                        f"{k}: {v:.3f}s" for k, v in gmax.items())
+                fh.write(line + "\n")
             else:
                 fh.write(f"wall: {wall:.6f}s\n")
     return 0

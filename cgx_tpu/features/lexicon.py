@@ -413,8 +413,8 @@ def _compact_pattern_rows(pat):
 def _block_pattern_rows(source, blocks, bids):
     """Source token ids of contiguous blocks as [n, SRCW] rows."""
     refstr = np.asarray(source.str_)
-    ss = blocks.string_start.astype(np.int64)[bids]
-    ml = blocks.matchlen.astype(np.int64)[bids]
+    ss = blocks.string_start[bids].astype(np.int64, copy=False)
+    ml = blocks.matchlen[bids].astype(np.int64, copy=False)
     pos = ss[:, None] + np.arange(SRCW)
     m = np.arange(SRCW)[None, :] < ml[:, None]
     return np.where(m, refstr[np.clip(pos, 0, len(refstr) - 1)],
@@ -425,17 +425,20 @@ def _target_key_rows(tgt_str, ts, te, g1s=None, g1e=None, g2s=None, g2e=None):
     """[n, KEYW] numeric rendering keys; gaps collapse to one marker."""
     n = len(ts)
     i32 = np.int32
-    ts = ts.astype(i32)
-    te = te.astype(i32)
+    # copy=False casts: these are read-only views when the dtype already
+    # matches (the corpora load as int32) — the eager copies cost ~1.2s of
+    # fresh-page faults per large-config lexicon call on this host
+    ts = ts.astype(i32, copy=False)
+    te = te.astype(i32, copy=False)
     pos = ts[:, None] + np.arange(KEYW, dtype=i32)[None, :]
     emit = pos <= te[:, None]
-    tok = tgt_str.astype(i32)[np.clip(pos, 0, len(tgt_str) - 1)]
+    tok = tgt_str.astype(i32, copy=False)[np.clip(pos, 0, len(tgt_str) - 1)]
     out_idx = pos - ts[:, None]
     for gs, ge, marker in ((g1s, g1e, -1), (g2s, g2e, -3)):
         if gs is None:
             continue
-        gs = gs.astype(i32)[:, None]
-        ge = ge.astype(i32)[:, None]
+        gs = gs.astype(i32, copy=False)[:, None]
+        ge = ge.astype(i32, copy=False)[:, None]
         ing = (pos >= gs) & (pos <= ge)
         np.copyto(tok, i32(marker), where=ing)
         emit &= ~ing | (pos == gs)
@@ -477,36 +480,51 @@ def _dedup_spans(cid, tgt_str, ts, end, g1=None, g11=None, g2=None, g21=None):
     the global first-appearance instance per distinct rule, its duplicate
     count, and the distinct rendered key rows, in appearance order."""
     n = len(cid)
-    ts = ts.astype(np.int64)
-    end = end.astype(np.int64)
+    ts = ts.astype(np.int64, copy=False)
+    end = end.astype(np.int64, copy=False)
     minus1 = np.full(n, -1, np.int64)
-    gs = [(g.astype(np.int64) if g is not None else minus1)
+    gs = [(g.astype(np.int64, copy=False) if g is not None else minus1)
           for g in (g1, g11, g2, g21)]
-    w1 = (cid.astype(np.int64) << 32) | ts
-    # 6-bit fields are collision-free only while every offset is in [-16, 47]
-    # — guaranteed by ExtractorConfig's max_rule_span <= 15 validation; guard
-    # the packing width against a future relaxation of that bound
+    # 5-bit offset fields (+1 bias) are collision-free while every offset is
+    # in [-1, 30] — the state machines emit end in [0, 15] and gap offsets in
+    # [-1, 15] (max_rule_span <= 15, validated by ExtractorConfig); guard the
+    # packing width against a future relaxation of that bound
     if n:
-        assert all(int(x.min()) >= -16 and int(x.max()) <= 47
+        assert all(int(x.min()) >= -1 and int(x.max()) <= 30
                    for x in (end, *gs)), \
-            "_dedup_spans 6-bit packing requires offsets in [-16, 47]"
-    w2 = (end + 16) | ((gs[0] + 16) << 6) | ((gs[1] + 16) << 12) \
-        | ((gs[2] + 16) << 18) | ((gs[3] + 16) << 24)
-    order = np.lexsort((w2, w1))
-    sw1 = w1[order]
-    sw2 = w2[order]
-    new = np.empty(n, bool)
-    new[0] = True
-    new[1:] = (sw1[1:] != sw1[:-1]) | (sw2[1:] != sw2[:-1])
+            "_dedup_spans 5-bit packing requires offsets in [-1, 30]"
+    w2 = (end + 1) | ((gs[0] + 1) << 5) | ((gs[1] + 1) << 10) \
+        | ((gs[2] + 1) << 15) | ((gs[3] + 1) << 20)
+    cid = cid.astype(np.int64, copy=False)
+    b_ts = int(ts.max()).bit_length() if n else 1
+    b_cid = int(cid.max()).bit_length() if n else 1
+    if b_cid + b_ts + 25 <= 63:
+        # one stable argsort of a single packed key: ~2x cheaper than the
+        # 2-key lexsort, and stability makes each group's first sorted
+        # element the earliest instance (no group-min reduction needed)
+        key = (cid << (b_ts + 25)) | (ts << 25) | w2
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = sk[1:] != sk[:-1]
+    else:
+        w1 = (cid << 32) | ts
+        order = np.lexsort((w2, w1))    # stable
+        sw1 = w1[order]
+        sw2 = w2[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (sw1[1:] != sw1[:-1]) | (sw2[1:] != sw2[:-1])
     starts = np.flatnonzero(new)
-    first = np.minimum.reduceat(order, starts)       # earliest instance/tuple
+    first = order[starts]               # stable sort => earliest instance
     c1 = np.diff(np.concatenate([starts, [n]]))
     rord = np.argsort(first, kind="stable")          # appearance order
     rep_idx = first[rord]
     c1 = c1[rord]
     keys_rep = _target_key_rows(
         tgt_str, ts[rep_idx], ts[rep_idx] + end[rep_idx],
-        *(None if g is None else ts[rep_idx] + g.astype(np.int64)[rep_idx]
+        *(None if g is None else ts[rep_idx] + g[rep_idx]
           for g in (g1, g11, g2, g21)))
     first2, inv2, _ = _dedup(cid[rep_idx], keys_rep)
     counts = np.bincount(inv2, weights=c1.astype(np.float64)).astype(np.int64)
@@ -546,12 +564,12 @@ def _finalize_fast(cids, first_idx, counts, fsample_arr, fs_dist, src_of,
     """Distinct-rule finalization with vectorized feature math: fsample clamp,
     SampleCountF/CountEF/EgivenFCoherent in the reference's float32 order.
     ``keys_d``: the distinct rendered key rows (row d = distinct rule d)."""
-    cid_d = cids[first_idx].astype(np.int64)
-    fs = fs_dist.astype(np.int64)
+    cid_d = cids[first_idx].astype(np.int64, copy=False)
+    fs = fs_dist.astype(np.int64, copy=False)
     if cfg.is_sample:
         fs = np.minimum(fs, cfg.sampler)
     fscore = np.log10((1 + fs).astype(np.float64)).astype(np.float32)
-    pc = counts.astype(np.int64)
+    pc = counts.astype(np.int64, copy=False)
     ratio = pc.astype(np.float32) / fs.astype(np.float32)
     aa = (-np.log10(ratio)).astype(np.float32)
     bb = np.log10((1 + pc).astype(np.float64)).astype(np.float32)
@@ -564,11 +582,12 @@ def _finalize_fast(cids, first_idx, counts, fsample_arr, fs_dist, src_of,
     n = len(first_idx)
     z = np.zeros(n, np.float32)
     return RuleTable(
-        blocknumber=cid_d.astype(np.int64),
+        blocknumber=cid_d,
         lexical=[src_of(int(i)) + " ||| " + t
                  for i, t in zip(first_idx, tgt_strs)],
-        fsample=fs.astype(np.int64), fsample_score=fscore,
-        f=f_arr.astype(np.int64), paircount=pc.astype(np.int64),
+        fsample=fs.astype(np.int64, copy=False), fsample_score=fscore,
+        f=f_arr.astype(np.int64, copy=False),
+        paircount=pc,
         aa=aa, bb=bb, max_lex_fge=z, max_lex_egf=z.copy())
 
 
@@ -586,14 +605,15 @@ def fast_create_lexicon_contig(contig: ContigRules, source: SourceCorpus,
     n = len(contig.blocknumber)
     if n == 0:
         return [], _empty_tasks()
-    cid = contig.blocknumber.astype(np.int64)
+    cid = contig.blocknumber.astype(np.int64, copy=False)
     fsample_arr = np.bincount(cid, minlength=G)
-    ts = contig.tar_start.astype(np.int64)
+    ts = contig.tar_start.astype(np.int64, copy=False)
     first_idx, counts, keys_d = _dedup_spans(
-        cid, np.asarray(target.str_), ts, contig.tar_end.astype(np.int64))
+        cid, np.asarray(target.str_), ts,
+        contig.tar_end.astype(np.int64, copy=False))
     cid_d = cid[first_idx]
-    fs_dist = 1 + blocks.end.astype(np.int64)[cid_d] \
-        - blocks.start.astype(np.int64)[cid_d]
+    fs_dist = 1 + blocks.end[cid_d].astype(np.int64, copy=False) \
+        - blocks.start[cid_d].astype(np.int64, copy=False)
     src_names = {}
 
     def src_of(i):
@@ -607,7 +627,7 @@ def fast_create_lexicon_contig(contig: ContigRules, source: SourceCorpus,
     tasks = TaskArrays(
         src_pat=_block_pattern_rows(source, blocks, cid_d),
         t0=ts[first_idx].astype(np.int32),
-        tend=contig.tar_end.astype(np.int32)[first_idx],
+        tend=contig.tar_end[first_idx].astype(np.int32, copy=False),
         g1=m1, g11=m1, g2=m1, g21=m1)
     rules = _finalize_fast(cid, first_idx, counts, fsample_arr, fs_dist,
                            src_of, keys_d, target, cfg)
@@ -617,17 +637,17 @@ def fast_create_lexicon_contig(contig: ContigRules, source: SourceCorpus,
 def _onegap_fs_dist(search1, onegap_sa, pc, oid):
     """Vectorized per-distinct-pattern sample size with the precomp
     feature_missing correction (ExtractPair.c:899-908)."""
-    so = search1.start_on_salist.astype(np.int64)[oid]
-    eo = search1.end_on_salist.astype(np.int64)[oid]
+    so = search1.start_on_salist[oid].astype(np.int64, copy=False)
+    eo = search1.end_on_salist[oid].astype(np.int64, copy=False)
     fs = 1 + eo - so
     if len(onegap_sa.length):
         soc = np.clip(so, 0, len(onegap_sa.length) - 1)
         pcmode = (fs == 1) & (onegap_sa.length[soc] == 0)
-        pci = np.clip(onegap_sa.str_position.astype(np.int64)[soc], 0,
-                      len(pc.index_start) - 1)
-        fs_pc = (1 - pc.index_start.astype(np.int64)[pci]
-                 + pc.index_end.astype(np.int64)[pci]
-                 + pc.feature_missing.astype(np.int64)[pci])
+        pci = np.clip(onegap_sa.str_position[soc].astype(np.int64, copy=False),
+                      0, len(pc.index_start) - 1)
+        fs_pc = (1 - pc.index_start[pci].astype(np.int64, copy=False)
+                 + pc.index_end[pci].astype(np.int64, copy=False)
+                 + pc.feature_missing[pci].astype(np.int64, copy=False))
         fs = np.where(pcmode, fs_pc, fs)
     return fs
 
@@ -645,11 +665,11 @@ def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
     n = len(rules1.gappy_index)
     if n == 0:
         return [], _empty_tasks()
-    gi = rules1.gappy_index.astype(np.int64)
+    gi = rules1.gappy_index.astype(np.int64, copy=False)
     seg2 = np.arange(n) >= separator
     cid = np.where(seg2, 2 * G + gi, gi)
     fsample_arr = np.bincount(cid, minlength=2 * G + D1)
-    ts = rules1.ref_str_start.astype(np.int64)
+    ts = rules1.ref_str_start.astype(np.int64, copy=False)
     first_idx, counts, keys_d = _dedup_spans(
         cid, np.asarray(target.str_), ts, rules1.end,
         rules1.gap1, rules1.gap1_1)
@@ -660,8 +680,8 @@ def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
     base_d = np.where(gi_d < G, gi_d, gi_d - G)
     if G:
         base_c = np.clip(base_d, 0, G - 1)
-        fs_blk = 1 + blocks.end.astype(np.int64)[base_c] \
-            - blocks.start.astype(np.int64)[base_c]
+        fs_blk = 1 + blocks.end[base_c].astype(np.int64, copy=False) \
+            - blocks.start[base_c].astype(np.int64, copy=False)
     else:  # no contiguous blocks: every row is a seg2 (aXb) rule
         base_c = base_d
         fs_blk = np.zeros(len(first_idx), dtype=np.int64)
@@ -669,7 +689,7 @@ def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
     fs_gap = _onegap_fs_dist(search1, onegap_sa, pc, oid_c) if D1 else fs_blk
     fs_dist = np.where(seg2_d, fs_gap, fs_blk)
 
-    pos_c = np.clip(search1.position.astype(np.int64)[oid_c], 0,
+    pos_c = np.clip(search1.position[oid_c].astype(np.int64, copy=False), 0,
                     max(len(enum1.number) - 1, 0))
     pat_rows = _compact_pattern_rows(enum1.pattern[pos_c]) \
         if len(enum1.number) else np.full((len(first_idx), SRCW), -99, np.int32)
@@ -679,9 +699,9 @@ def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
     m1 = np.full(len(first_idx), -1, np.int32)
     tasks = TaskArrays(
         src_pat=src_pat, t0=ts[first_idx].astype(np.int32),
-        tend=rules1.end.astype(np.int32)[first_idx],
-        g1=rules1.gap1.astype(np.int32)[first_idx],
-        g11=rules1.gap1_1.astype(np.int32)[first_idx],
+        tend=rules1.end[first_idx].astype(np.int32, copy=False),
+        g1=rules1.gap1[first_idx].astype(np.int32, copy=False),
+        g11=rules1.gap1_1[first_idx].astype(np.int32, copy=False),
         g2=m1, g21=m1)
 
     src_cache = {}
@@ -729,12 +749,12 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
     n = len(rules2.gappy_index)
     if n == 0:
         return [], _empty_tasks()
-    gi = rules2.gappy_index.astype(np.int64)
+    gi = rules2.gappy_index.astype(np.int64, copy=False)
     idx = np.arange(n)
     cid = np.where(idx < sep1, gi,
                    np.where(idx < sep2, G + gi, G + D2 + gi))
     fsample_arr = np.bincount(cid, minlength=G + 2 * D1 + D2)
-    ts = rules2.ref_str_start.astype(np.int64)
+    ts = rules2.ref_str_start.astype(np.int64, copy=False)
     first_idx, counts, keys_d = _dedup_spans(
         cid, np.asarray(target.str_), ts, rules2.end,
         rules2.gap1, rules2.gap1_1, rules2.gap2, rules2.gap2_1)
@@ -746,14 +766,15 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
     segB = (first_idx >= sep1) & (first_idx < sep2)  # aXbXc by twoId
     if G:
         blk_c = np.clip(gi_d, 0, G - 1)
-        fsA = 1 + blocks.end.astype(np.int64)[blk_c] \
-            - blocks.start.astype(np.int64)[blk_c]
+        fsA = 1 + blocks.end[blk_c].astype(np.int64, copy=False) \
+            - blocks.start[blk_c].astype(np.int64, copy=False)
     else:  # no contiguous blocks: segA is empty
         blk_c = gi_d
         fsA = np.zeros(len(first_idx), dtype=np.int64)
     two_c = np.clip(gi_d, 0, max(D2 - 1, 0))
-    fsB = (1 + search2.end_on_salist.astype(np.int64)[two_c]
-           - search2.start_on_salist.astype(np.int64)[two_c]) if D2 else fsA
+    fsB = (1 + search2.end_on_salist[two_c].astype(np.int64, copy=False)
+           - search2.start_on_salist[two_c].astype(np.int64, copy=False)) \
+        if D2 else fsA
     rid = np.where(gi_d >= D1, gi_d - D1, gi_d)
     rid_c = np.clip(rid, 0, max(D1 - 1, 0))
     fsC = _onegap_fs_dist(search1, onegap_sa, pc, rid_c) if D1 else fsA
@@ -762,8 +783,8 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
     # task source patterns per segment
     nd = len(first_idx)
     if len(enum1.number):
-        pos1 = np.clip(search1.position.astype(np.int64)[rid_c], 0,
-                       len(enum1.number) - 1)
+        pos1 = np.clip(search1.position[rid_c].astype(np.int64, copy=False),
+                       0, len(enum1.number) - 1)
         patC = _compact_pattern_rows(enum1.pattern[pos1])
     else:
         patC = np.full((nd, SRCW), -99, np.int32)
@@ -771,28 +792,32 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
                        _block_pattern_rows(source, blocks, blk_c)
                        if G else patC, patC)
     if D2 and segB.any():
-        one_of_two = np.clip(search2.blockid.astype(np.int64)[two_c], 0,
-                             max(D1 - 1, 0))
-        posB = np.clip(search1.position.astype(np.int64)[one_of_two], 0,
-                       len(enum1.number) - 1)
+        one_of_two = np.clip(
+            search2.blockid[two_c].astype(np.int64, copy=False), 0,
+            max(D1 - 1, 0))
+        posB = np.clip(search1.position[one_of_two].astype(np.int64,
+                                                           copy=False),
+                       0, len(enum1.number) - 1)
         patB = _compact_pattern_rows(enum1.pattern[posB])
-        pos2 = np.clip(search2.position.astype(np.int64)[two_c], 0,
-                       max(len(enum2.number) - 1, 0))
+        pos2 = np.clip(search2.position[two_c].astype(np.int64, copy=False),
+                       0, max(len(enum2.number) - 1, 0))
         ncore = (patB != -99).sum(axis=1)
+        num2 = enum2.number[pos2].astype(np.int64, copy=False)
         for jj in range(enum2.pattern.shape[1]):
-            have = jj < enum2.number.astype(np.int64)[pos2]
+            have = jj < num2
             col = np.clip(ncore + jj, 0, SRCW - 1)
             vals = enum2.pattern[pos2, jj]
             rowsel = segB & have
             patB[np.arange(nd)[rowsel], col[rowsel]] = vals[rowsel]
         src_pat = np.where(segB[:, None], patB, src_pat)
     tasks = TaskArrays(
-        src_pat=src_pat.astype(np.int32), t0=ts[first_idx].astype(np.int32),
-        tend=rules2.end.astype(np.int32)[first_idx],
-        g1=rules2.gap1.astype(np.int32)[first_idx],
-        g11=rules2.gap1_1.astype(np.int32)[first_idx],
-        g2=rules2.gap2.astype(np.int32)[first_idx],
-        g21=rules2.gap2_1.astype(np.int32)[first_idx])
+        src_pat=src_pat.astype(np.int32, copy=False),
+        t0=ts[first_idx].astype(np.int32),
+        tend=rules2.end[first_idx].astype(np.int32, copy=False),
+        g1=rules2.gap1[first_idx].astype(np.int32, copy=False),
+        g11=rules2.gap1_1[first_idx].astype(np.int32, copy=False),
+        g2=rules2.gap2[first_idx].astype(np.int32, copy=False),
+        g21=rules2.gap2_1[first_idx].astype(np.int32, copy=False))
 
     src_cache = {}
 

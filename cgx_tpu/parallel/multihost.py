@@ -72,6 +72,26 @@ def _wait_for_artifact(index_dir: str, timeout_s: float = 600.0):
         time.sleep(0.2)
 
 
+def _phase_max_allgather(timing):
+    """Per-phase MAX across processes (the critical-path view of recordTime's
+    buckets, Start.cu:392-469, for a multi-host run).  Phase dicts differ in
+    keys per process (e.g. builder vs artifact-loader), so they exchange as
+    fixed-size JSON byte buffers."""
+    import json
+    from jax.experimental import multihost_utils
+    payload = json.dumps(timing.as_dict()).encode()
+    buf = np.zeros(8192, np.uint8)
+    buf[:len(payload)] = np.frombuffer(payload[:len(buf)], np.uint8)
+    rows = np.asarray(multihost_utils.process_allgather(buf)).reshape(
+        -1, buf.size)
+    agg: dict = {}
+    for row in rows:
+        text = bytes(row[row != 0]).decode() or "{}"
+        for k, v in json.loads(text).items():
+            agg[k] = max(agg.get(k, 0.0), float(v))
+    return agg
+
+
 def run_multihost(f_lines, e_lines, a_lines, lex_tokens, q_lines, dest_dir,
                   cfg, index_dir=None, sa_shards: int = 0):
     """Run the pipeline on this host's query shard; writes this host's grammar
@@ -99,9 +119,12 @@ def run_multihost(f_lines, e_lines, a_lines, lex_tokens, q_lines, dest_dir,
             if lines:
                 fh.write("\n")
     total_lines = res.counters["total_lines"]
-    if jax.process_count() > 1 and not composed:
-        from jax.experimental import multihost_utils
-        all_counts = multihost_utils.process_allgather(
-            np.asarray([total_lines], np.int64))
-        total_lines = int(np.sum(all_counts))
+    if jax.process_count() > 1:
+        if not composed:
+            from jax.experimental import multihost_utils
+            all_counts = multihost_utils.process_allgather(
+                np.asarray([total_lines], np.int64))
+            total_lines = int(np.sum(all_counts))
+        # per-phase critical path across ALL processes, for -s timefile
+        res.timing.global_phase_max = _phase_max_allgather(res.timing)
     return lo, hi, res, total_lines

@@ -33,6 +33,27 @@ def test_pipeline_matches_oracle_byte_identical(toy_fixture, sample):
             f"tpu:    {next(b for a, b in zip(lo, lt) if a != b)}")
 
 
+def test_pipeline_matches_oracle_on_adversarial_corpus():
+    """Non-monotone alignments, 1:N/N:1 fan-out, ~30% unaligned
+    (tools.make_bigcorpus.make_hard_corpus): the consistency-check kill paths
+    (`consistent` ExtractPair.cu:103-133, checkBoundaryGap GappyLook.cu:43-126
+    semantics) actually fire — and the pipeline must still be byte-identical
+    to the oracle (VERDICT r2 weak #3)."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from tools.make_bigcorpus import make_hard_corpus, make_big_queries
+    f_text, e_text, a_lines, lex_tokens = make_hard_corpus(400, vocab=200,
+                                                           seed=11)
+    q_lines = make_big_queries(f_text, 6, seed=3)
+    cfg = ExtractorConfig(precompute_count=20)
+    args = (f_text.split("\n"), e_text.split("\n"), a_lines, lex_tokens,
+            q_lines)
+    o = opl.run_oracle(*args, cfg)
+    t = tpl.run_pipeline(*args, cfg)
+    assert o.per_query_lines == t.per_query_lines
+    assert sum(len(x) for x in t.per_query_lines) > 0
+
+
 def test_precompute_matches_oracle(toy_fixture):
     from cgx_tpu.preproc import suffix_array as sab
     from cgx_tpu.index import container as ic

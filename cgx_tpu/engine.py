@@ -70,6 +70,12 @@ class ReplicatedEngine:
     search + per-pattern field gathers, ~20 gathered words/item); D2H — the
     slow direction through the relay — stays O(items/8)."""
 
+    # single-device programs: orchestrators may dispatch independent kernel
+    # groups from threads (first-time compiles overlap); the sharded engine
+    # keeps this False — its programs are collectives that every process must
+    # dispatch in the same order
+    parallel_dispatch_safe = True
+
     def __init__(self, index, sa_host: np.ndarray, cfg):
         self.index = index
         self.sa_host = sa_host
@@ -129,17 +135,35 @@ class ReplicatedEngine:
         pcrows = self._pc_rows_dev(pc)
         pattab_d = jnp.asarray(pattab)
         offs_d = jnp.asarray(offs_pad.astype(np.int32))
-        pending = []
+        plan = []
         s = 0
         for ni in chunk_plan(N, PCS_CHUNK, PCS_CHUNK // 8):
             n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
                 else bucket_size(ni)
             pat0 = max(int(np.searchsorted(offs, s, side="right")) - 1, 0)
-            pending.append((_pcs_batch_exp(
-                ix.refstr_padded, pcrows, pattab_d, offs_d, jnp.int32(s),
-                jnp.int32(pat0), jnp.int32(D), ix.offs0, cfg.max_rule_span,
-                n_call), ni))
+            plan.append((s, pat0, n_call, ni))
             s += ni
+
+        def _disp(s_, pat0_, n_call_):
+            return _pcs_batch_exp(
+                ix.refstr_padded, pcrows, pattab_d, offs_d, jnp.int32(s_),
+                jnp.int32(pat0_), jnp.int32(D), ix.offs0, cfg.max_rule_span,
+                n_call_)
+
+        from cgx_tpu.utils.batching import compile_pool
+        results = [None] * len(plan)
+        first_of_size = {}
+        for i, (_, _, n_call, _) in enumerate(plan):
+            first_of_size.setdefault(n_call, i)
+        if len(first_of_size) > 1:
+            futs = [(i, compile_pool().submit(_disp, *plan[i][:3]))
+                    for i in first_of_size.values()]
+            for i, f in futs:
+                results[i] = f.result()
+        for i, (s_, pat0_, n_call_, _) in enumerate(plan):
+            if results[i] is None:
+                results[i] = _disp(s_, pat0_, n_call_)
+        pending = [(results[i], plan[i][3]) for i in range(len(plan))]
 
         def _post():
             import jax
@@ -176,7 +200,8 @@ class ReplicatedEngine:
                                         *(jnp.asarray(x) for x in a),
                                         ix.offs0, cfg.max_rule_span,
                                         cfg.min_gap_size, fwd),
-            cols, chunk=SCAN_CHUNK, fetch=fetch, floor=SCAN_CHUNK // 8)
+            cols, chunk=SCAN_CHUNK, fetch=fetch, floor=SCAN_CHUNK // 8,
+            parallel_compile=True)
 
     def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True):
         from cgx_tpu.search.lookup import _two_batch_packed
@@ -202,7 +227,8 @@ class ReplicatedEngine:
                                          ix.offs0, cfg.max_rule_span,
                                          cfg.min_gap_size),
             [css.astype(np.int32), fes.astype(np.int32)],
-            chunk=SCAN_CHUNK, fetch=False, floor=SCAN_CHUNK // 8)
+            chunk=SCAN_CHUNK, fetch=False, floor=SCAN_CHUNK // 8,
+            parallel_compile=True)
 
         def _post():
             comb = np.asarray(comb_p.get()[0], np.uint32)
@@ -219,7 +245,8 @@ class ReplicatedEngine:
         return chunked_batch(
             lambda g: (_gc_batch(ix.rlp, ix.lr_tar, jnp.asarray(g), ix.offs0,
                                  cfg.max_rule_span, cfg.min_gap_size, fwd),),
-            [np.asarray(gostart, np.int32)], fetch=fetch)
+            [np.asarray(gostart, np.int32)], fetch=fetch,
+            parallel_compile=True)
 
     def contig(self, sa_pos, lm, fetch=True):
         from cgx_tpu.extract.device import _contig_batch
@@ -230,7 +257,7 @@ class ReplicatedEngine:
                 jnp.asarray(sp), jnp.asarray(lp), ix.offs0,
                 cfg.max_rule_span, cfg.max_rule_symbols),
             [np.asarray(sa_pos, np.int32), np.asarray(lm, np.int32)],
-            fetch=fetch)
+            fetch=fetch, parallel_compile=True)
 
     def onegap(self, css, fes, sls, els, fetch=True):
         from cgx_tpu.extract.device import _onegap_batch
@@ -242,7 +269,7 @@ class ReplicatedEngine:
                 cfg.max_rule_span, cfg.max_rule_symbols),
             [np.asarray(css, np.int32), np.asarray(fes, np.int32),
              np.asarray(sls, np.int32), np.asarray(els, np.int32)],
-            fetch=fetch)
+            fetch=fetch, parallel_compile=True)
 
     def twogap(self, css, fes, ses, sls, els, cls, fetch=True):
         from cgx_tpu.extract.device import _twogap_batch
@@ -254,4 +281,4 @@ class ReplicatedEngine:
             [np.asarray(css, np.int32), np.asarray(fes, np.int32),
              np.asarray(ses, np.int32), np.asarray(sls, np.int32),
              np.asarray(els, np.int32), np.asarray(cls, np.int32)],
-            fetch=fetch)
+            fetch=fetch, parallel_compile=True)

@@ -198,13 +198,34 @@ def _front_stages(ctx, queries, cfg, t):
     with t.phase("extractkernel"):
         from cgx_tpu.utils.timing import StageMarks
         mk = StageMarks("extract")
-        # dispatch all three kernels, then fetch: the round-trips overlap
-        fin_c = xdev.extract_contiguous_tpu(index, blocks, cfg, engine=engine,
+        # dispatch all three kernels, then fetch: the round-trips overlap.
+        # On the replicated engine the three dispatches also run on the
+        # compile pool so their first-time program compiles/loads overlap
+        # (~2s each through the relay); the sharded engine's programs are
+        # collectives, which must dispatch in deterministic order on every
+        # process, so it stays serial there.
+        from cgx_tpu.utils.batching import PARALLEL_COMPILE_OK
+        if getattr(engine, "parallel_dispatch_safe", False) \
+                and PARALLEL_COMPILE_OK:
+            from cgx_tpu.utils.batching import compile_pool
+            pool = compile_pool()
+            fut_c = pool.submit(xdev.extract_contiguous_tpu, index, blocks,
+                                cfg, engine=engine, defer=True)
+            fut_t = pool.submit(xdev.extract_twogap_tpu, index, search1,
+                                search2, twogap_sa, cfg, engine=engine,
+                                defer=True)
+            fin_o = xdev.extract_onegap_tpu(index, search1, onegap_sa, pc,
+                                            cfg, engine=engine, defer=True)
+            fin_c = fut_c.result()
+            fin_t = fut_t.result()
+        else:
+            fin_c = xdev.extract_contiguous_tpu(index, blocks, cfg,
+                                                engine=engine, defer=True)
+            fin_t = xdev.extract_twogap_tpu(index, search1, search2,
+                                            twogap_sa, cfg, engine=engine,
                                             defer=True)
-        fin_t = xdev.extract_twogap_tpu(index, search1, search2, twogap_sa,
-                                        cfg, engine=engine, defer=True)
-        fin_o = xdev.extract_onegap_tpu(index, search1, onegap_sa, pc, cfg,
-                                        engine=engine, defer=True)
+            fin_o = xdev.extract_onegap_tpu(index, search1, onegap_sa, pc,
+                                            cfg, engine=engine, defer=True)
         mk.mark("dispatch")
         contig, og_blocks, tg_blocks = fin_c()
         mk.mark("contig_fetch")

@@ -324,16 +324,26 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
 
     # 2+3) dispatch the precomp-seed verification AND both scan directions
     # before fetching anything: the three groups are independent, so their
-    # relay round-trips overlap with each other's device work
+    # relay round-trips overlap with each other's device work.  On the
+    # replicated engine the three dispatch calls themselves run on the
+    # compile pool so first-time program compiles/loads overlap too
+    # (collective/sharded dispatch must stay in program order, so it's
+    # inline there).
+    from cgx_tpu.utils.batching import PARALLEL_COMPILE_OK
+    par = getattr(engine, "parallel_dispatch_safe", False) \
+        and PARALLEL_COMPILE_OK
+    if par:
+        from cgx_tpu.utils.batching import compile_pool
+        pool = compile_pool()
     seed_ids = np.flatnonzero(pc_seed)
     pcs_job = None
     if len(seed_ids):
         counts_s = (pc_dis[seed_ids] + 1).clip(min=0)
-        pend = engine.pcs_expanded(
+        disp = lambda: engine.pcs_expanded(
             queries, pc, pc.index_start[pci[seed_ids]].astype(np.int64),
             counts_s, sl_all[seed_ids], el_all[seed_ids], tok_all[seed_ids],
             stok_all[seed_ids], fetch=False)
-        pcs_job = (counts_s, pend)
+        pcs_job = (counts_s, pool.submit(disp) if par else disp())
     scan_jobs = []
     for fwd in (True, False):
         ids = np.flatnonzero(~has_pc & (use_fwd == fwd))
@@ -342,13 +352,17 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         lo = np.where(fwd, r1u, r2u)[ids]
         counts = (np.where(fwd, dis1, dis2)[ids] + 1).clip(min=0)
         side = (stok_all if fwd else tok_all)[ids]
-        pend = engine.scan_expanded(queries, fwd, lo, counts, sl_all[ids],
-                                    el_all[ids], side, fetch=False)
-        scan_jobs.append((fwd, ids, lo, counts, pend))
+        disp = (lambda fwd=fwd, lo=lo, counts=counts, ids=ids, side=side:
+                engine.scan_expanded(queries, fwd, lo, counts, sl_all[ids],
+                                     el_all[ids], side, fetch=False))
+        scan_jobs.append((fwd, ids, lo, counts,
+                          pool.submit(disp) if par else disp()))
     mk.mark("dispatch")
 
     if pcs_job is not None:
         counts_s, pend = pcs_job
+        if par:
+            pend = pend.result()
         (ok,) = pend.get()
         mk.mark(f"pcs_fetch[{int(counts_s.sum())}]")
         hit = np.flatnonzero(np.asarray(ok, bool))
@@ -362,6 +376,8 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         mk.mark("pcs_post")
 
     for fwd, ids, lo, counts, pend in scan_jobs:
+        if par:
+            pend = pend.result()
         (mask,) = pend.get()
         mk.mark(f"scan_fetch[{int(counts.sum())}]")
         ii, mm = _mask_hits(mask)

@@ -127,6 +127,17 @@ def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
     refstr_host = np.asarray(source.str_)
     rows_parts = []
     missing = np.zeros(P * P, dtype=np.int32)
+    # dispatch BOTH directions before fetching either: the two gap-check
+    # programs are independent, so their first-time compiles/loads and the
+    # relay round-trips overlap.  On the replicated layout the dispatch calls
+    # themselves run on the compile pool; the sharded engine's programs are
+    # collectives, so its dispatch order stays fwd-then-bwd inline (identical
+    # on every process).
+    from cgx_tpu.utils.batching import PARALLEL_COMPILE_OK
+    par = (engine is None
+           or getattr(engine, "parallel_dispatch_safe", False)) \
+        and PARALLEL_COMPILE_OK
+    jobs = []
     for fwd in (True, False):
         owns, cell, start, length = _host_scan(
             refstr_host, tokens, counts, tok_idx, gostart.astype(np.int64),
@@ -135,12 +146,23 @@ def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
         if not len(live):
             continue
         if engine is not None:
-            gc = engine.gap_check(gostart[live], fwd)[0]
+            disp = (lambda fwd=fwd, live=live:
+                    engine.gap_check(gostart[live], fwd, fetch=False))
         else:
-            gc = chunked_batch(
+            disp = (lambda fwd=fwd, live=live: chunked_batch(
                 lambda g: (_gc_batch(index.rlp, index.lr_tar, jnp.asarray(g),
                                      index.offs0, mrs, mgs, fwd),),
-                [gostart[live]])[0]
+                [gostart[live]], fetch=False, parallel_compile=True))
+        if par:
+            from cgx_tpu.utils.batching import compile_pool
+            pend = compile_pool().submit(disp)
+        else:
+            pend = disp()
+        jobs.append((owns, cell, start, length, live, pend))
+    for owns, cell, start, length, live, pend in jobs:
+        if par:
+            pend = pend.result()
+        gc = pend.get()[0]
         ii_l, mm = np.nonzero(owns[live])
         ii = live[ii_l]
         hit = gc[ii_l, mm]

@@ -9,9 +9,35 @@ batches and runs."""
 
 from __future__ import annotations
 
+import os
+import threading
+
 import numpy as np
 
 MIN_BUCKET = 64
+
+# A/B diagnostic: CGX_SERIAL_COMPILE=1 forces every first-time compile/load
+# back onto the dispatching thread (the pre-r3 serial behavior)
+PARALLEL_COMPILE_OK = not os.environ.get("CGX_SERIAL_COMPILE")
+
+_POOL = None
+_POOL_LOCK = threading.Lock()
+
+
+def compile_pool():
+    """Shared thread pool for first-time program compiles/loads.  Program
+    compilation (and the axon relay's executable load) blocks the dispatching
+    thread ~2s each with a warm persistent cache and far longer cold; loads of
+    DISTINCT programs parallelize near-linearly across threads (measured 4x
+    with 4 threads on the chip), so cold-open cost drops from sum(load) toward
+    max(load).  Steady-state dispatches never come here."""
+    global _POOL
+    with _POOL_LOCK:
+        if _POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+            _POOL = ThreadPoolExecutor(max_workers=8,
+                                       thread_name_prefix="cgx-compile")
+    return _POOL
 
 
 def bucket_size(n: int) -> int:
@@ -100,7 +126,8 @@ class Pending:
 
 
 def chunked_indices(call, n_items: int, chunk: int = CHUNK,
-                    item_div: int = 1, fetch: bool = True):
+                    item_div: int = 1, fetch: bool = True,
+                    parallel_compile: bool = False):
     """Like ``chunked_batch`` but with NO per-item host arrays at all: the
     device program generates its own item indices.  ``call(start, n)`` must
     run items ``start .. start+n`` (n is a static power of two; indices past
@@ -114,13 +141,27 @@ def chunked_indices(call, n_items: int, chunk: int = CHUNK,
     import jax
 
     floor = max(chunk // 8, MIN_CHUNK)
-    pending = []
+    plan = []
     s = 0
     for ni in chunk_plan(n_items, chunk, floor):
         n_call = ni if (ni & (ni - 1)) == 0 and ni >= floor \
             else max(bucket_size(ni), floor)
-        pending.append((call(s, n_call), ni))
+        plan.append((s, n_call, ni))
         s += ni
+    results = [None] * len(plan)
+    if parallel_compile and PARALLEL_COMPILE_OK and len(plan) > 1:
+        first_of_size = {}
+        for i, (_, n_call, _) in enumerate(plan):
+            first_of_size.setdefault(n_call, i)
+        if len(first_of_size) > 1:
+            futs = [(i, compile_pool().submit(call, plan[i][0], plan[i][1]))
+                    for i in first_of_size.values()]
+            for i, f in futs:
+                results[i] = f.result()
+    for i, (st, n_call, _) in enumerate(plan):
+        if results[i] is None:
+            results[i] = call(st, n_call)
+    pending = [(results[i], plan[i][2]) for i in range(len(plan))]
     def _finish():
         if not pending:
             return None
@@ -132,7 +173,8 @@ def chunked_indices(call, n_items: int, chunk: int = CHUNK,
 
 
 def chunked_batch(call, arrays, chunk: int = CHUNK, fetch: bool = True,
-                  item_div: int = 1, floor: int = MIN_CHUNK):
+                  item_div: int = 1, floor: int = MIN_CHUNK,
+                  parallel_compile: bool = False):
     """Run ``call(*padded_arrays) -> tuple/list of outputs with leading item axis``
     over pow2-sized chunks of the item axis; returns concatenated outputs sliced
     to the real length.  Dispatches are asynchronous (fetched together at the end),
@@ -140,11 +182,18 @@ def chunked_batch(call, arrays, chunk: int = CHUNK, fetch: bool = True,
 
     ``item_div``: outputs whose leading axis is n/item_div (bit-packed results;
     every non-final chunk is a pow2 multiple of item_div, so only the final
-    chunk's packed tail holds padding bits, sliced off by the caller)."""
+    chunk's packed tail holds padding bits, sliced off by the caller).
+
+    ``parallel_compile``: dispatch the FIRST chunk of each distinct padded size
+    from the shared compile pool so first-time program compiles/loads overlap
+    (~2s each through the relay; see ``compile_pool``).  Only safe for
+    single-device programs — collective (sharded/multi-process) dispatch must
+    stay in deterministic program order on every process, so those callers
+    leave this off."""
     import jax
 
     n = len(arrays[0])
-    pending = []
+    pieces = []
     s = 0
     # High-volume light kernels (floor raised above the default) pad their
     # tail up to the floor: the compiled-shape set is then exactly the ladder
@@ -155,7 +204,21 @@ def chunked_batch(call, arrays, chunk: int = CHUNK, fetch: bool = True,
         piece = [a[s:s + ni] for a in arrays]
         s += ni
         _, *padded = pad_items(*piece, floor=tail_floor)
-        pending.append((call(*padded), ni))   # async dispatch; fetch later
+        pieces.append((padded, ni))
+    results = [None] * len(pieces)
+    if parallel_compile and PARALLEL_COMPILE_OK and len(pieces) > 1:
+        first_of_size = {}
+        for i, (padded, _) in enumerate(pieces):
+            first_of_size.setdefault(len(padded[0]), i)
+        if len(first_of_size) > 1:
+            futs = [(i, compile_pool().submit(call, *pieces[i][0]))
+                    for i in first_of_size.values()]
+            for i, f in futs:
+                results[i] = f.result()
+    for i, (padded, _) in enumerate(pieces):
+        if results[i] is None:
+            results[i] = call(*padded)    # async dispatch; fetch later
+    pending = [(results[i], pieces[i][1]) for i in range(len(pieces))]
 
     def _finish():
         if not pending:

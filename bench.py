@@ -92,8 +92,9 @@ ONE_TIME_PHASES = ("suffixarray", "precompute", "refsin", "qrysin",
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", choices=list(SIZES), default="small")
-    ap.add_argument("--reps", type=int, default=3,
-                    help="measured repetitions; best query-path time wins")
+    ap.add_argument("--reps", type=int, default=5,
+                    help="measured repetitions; best query-path time wins "
+                         "(relay latency is noisy run-to-run)")
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--sa-shards", type=int, default=0,

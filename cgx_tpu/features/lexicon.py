@@ -422,30 +422,65 @@ def _block_pattern_rows(source, blocks, bids):
 
 
 def _target_key_rows(tgt_str, ts, te, g1s=None, g1e=None, g2s=None, g2e=None):
-    """[n, KEYW] numeric rendering keys; gaps collapse to one marker."""
+    """[n, KEYW] numeric rendering keys; gaps collapse to one marker.
+
+    Runs in fixed-size chunks over preallocated buffers (every elementwise op
+    lands in an ``out=`` buffer): the straightforward whole-array expression
+    allocated ~15 fresh [n, KEYW] temporaries per call, and at 512-query scale
+    (n in the hundreds of thousands) fresh-page faults made this one function
+    >50% of the whole two-gap lexicon family on this host."""
     n = len(ts)
     i32 = np.int32
-    # copy=False casts: these are read-only views when the dtype already
-    # matches (the corpora load as int32) — the eager copies cost ~1.2s of
-    # fresh-page faults per large-config lexicon call on this host
     ts = ts.astype(i32, copy=False)
     te = te.astype(i32, copy=False)
-    pos = ts[:, None] + np.arange(KEYW, dtype=i32)[None, :]
-    emit = pos <= te[:, None]
-    tok = tgt_str.astype(i32, copy=False)[np.clip(pos, 0, len(tgt_str) - 1)]
-    out_idx = pos - ts[:, None]
-    for gs, ge, marker in ((g1s, g1e, -1), (g2s, g2e, -3)):
-        if gs is None:
-            continue
-        gs = gs.astype(i32, copy=False)[:, None]
-        ge = ge.astype(i32, copy=False)[:, None]
-        ing = (pos >= gs) & (pos <= ge)
-        np.copyto(tok, i32(marker), where=ing)
-        emit &= ~ing | (pos == gs)
-        out_idx -= np.where(pos > ge, ge - gs, i32(0))
+    gaps = [(gs.astype(i32, copy=False), ge.astype(i32, copy=False), marker)
+            for gs, ge, marker in ((g1s, g1e, -1), (g2s, g2e, -3))
+            if gs is not None]
+    tgt = tgt_str.astype(i32, copy=False)
     key = np.full((n, KEYW + 1), -2, dtype=i32)
-    oi = np.where(emit, np.minimum(out_idx, KEYW - 1), KEYW).astype(np.int64)
-    np.put_along_axis(key, oi, np.where(emit, tok, i32(-2)), axis=1)
+    if not n:
+        return key[:, :KEYW]
+    C = 131072
+    ar = np.arange(KEYW, dtype=i32)[None, :]
+    m = min(n, C)
+    pos = np.empty((m, KEYW), i32)
+    emit = np.empty((m, KEYW), bool)
+    tok = np.empty((m, KEYW), i32)
+    oidx = np.empty((m, KEYW), i32)
+    b1 = np.empty((m, KEYW), bool)
+    b2 = np.empty((m, KEYW), bool)
+    t1 = np.empty((m, KEYW), i32)
+    for s in range(0, n, C):
+        e = min(s + C, n)
+        c = e - s
+        P, E, T, O = pos[:c], emit[:c], tok[:c], oidx[:c]
+        B1, B2, T1 = b1[:c], b2[:c], t1[:c]
+        np.add(ts[s:e, None], ar, out=P)
+        np.less_equal(P, te[s:e, None], out=E)
+        np.clip(P, 0, len(tgt) - 1, out=T1)
+        np.take(tgt, T1, out=T)
+        np.subtract(P, ts[s:e, None], out=O)
+        for gs, ge, marker in gaps:
+            G1 = gs[s:e, None]
+            G2 = ge[s:e, None]
+            np.greater_equal(P, G1, out=B1)
+            np.less_equal(P, G2, out=B2)
+            np.logical_and(B1, B2, out=B1)          # B1 = inside-gap
+            np.copyto(T, i32(marker), where=B1)
+            np.equal(P, G1, out=B2)                 # B2 = gap start
+            np.logical_not(B1, out=B1)
+            np.logical_or(B1, B2, out=B1)           # keep: ~ing | (pos==gs)
+            np.logical_and(E, B1, out=E)
+            np.greater(P, G2, out=B2)               # past the gap: shift left
+            np.multiply(B2, np.subtract(ge[s:e], gs[s:e])[:, None],
+                        out=T1, casting="unsafe")
+            np.subtract(O, T1, out=O)
+        np.minimum(O, KEYW - 1, out=O)
+        np.copyto(T1, i32(KEYW))
+        np.copyto(T1, O, where=E)                   # T1 = slot index (dump=KEYW)
+        np.copyto(P, i32(-2))
+        np.copyto(P, T, where=E)                    # P = value (-2 off-emit)
+        np.put_along_axis(key[s:e], T1, P, axis=1)
     return key[:, :KEYW]
 
 

@@ -26,8 +26,7 @@ def format_rule(r) -> str:
                    int(r.f == 1), int(r.paircount == 1))
 
 
-def format_lines(table) -> list:
-    """All rule lines of a RuleTable, in order (one formatting pass)."""
+def _format_lines_py(table) -> list:
     return [
         _FMT % (lx, aa, fss, bb, fge, egf, int(f == 1), int(pc == 1))
         for lx, aa, fss, bb, fge, egf, f, pc in zip(
@@ -36,6 +35,52 @@ def format_lines(table) -> list:
             table.max_lex_fge.astype(float), table.max_lex_egf.astype(float),
             table.f, table.paircount)
     ]
+
+
+def format_lines(table) -> list:
+    """All rule lines of a RuleTable, in order (one formatting pass).
+
+    The 7-feature suffix formats natively when the C++ library is available
+    (`cgx_format_features` — snprintf "%f" is byte-identical to Python's
+    float __mod__, both correctly rounded; equality test-enforced), cutting
+    the per-line Python %-format cost at whole-test-set rule counts
+    (PrintResults.c:355-364 analog)."""
+    import numpy as np
+    from cgx_tpu.preproc.native_build import load_native
+    n = len(table.lexical)
+    lib = load_native() if n else None
+    if lib is None:
+        return _format_lines_py(table)
+    import ctypes
+    lexs = "".join(table.lexical)
+    lexb = lexs.encode("utf-8")
+    lex_offs = np.zeros(n + 1, np.int64)
+    if len(lexb) == len(lexs):   # pure ASCII: char offsets == byte offsets
+        np.cumsum(np.fromiter(map(len, table.lexical), np.int64, count=n),
+                  out=lex_offs[1:])
+    else:
+        np.cumsum([len(s.encode("utf-8")) for s in table.lexical],
+                  out=lex_offs[1:])
+    cap = len(lexb) + 300 * n
+    buf = ctypes.create_string_buffer(cap)
+    offs = np.empty(n + 1, np.int64)
+    arrs = [np.ascontiguousarray(a, np.float32) for a in
+            (table.aa, table.fsample_score, table.bb,
+             table.max_lex_fge, table.max_lex_egf)]
+    ints = [np.ascontiguousarray(a, np.int64)
+            for a in (table.f, table.paircount)]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    total = lib.cgx_format_rule_lines(
+        lexb, lex_offs.ctypes.data_as(i64p),
+        *(a.ctypes.data_as(f32p) for a in arrs),
+        *(a.ctypes.data_as(i64p) for a in ints),
+        n, buf, cap, offs.ctypes.data_as(i64p))
+    if total < 0:   # pragma: no cover - 300B/row + lex bound never exceeded
+        return _format_lines_py(table)
+    raw = buf.raw
+    o = offs.tolist()
+    return [raw[o[i]:o[i + 1]].decode("utf-8") for i in range(n)]
 
 
 def _emit(lines, updown, fmt, rid: int):

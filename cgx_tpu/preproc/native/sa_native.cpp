@@ -257,3 +257,74 @@ long cgx_tokenize(const char* text, long n, int32_t* out_ids,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Rule-line feature formatting (replaces the host printf loop of
+// PrintResults.c:355-364 at rule-count scale): the 7-feature suffix of every
+// cdec rule line, snprintf "%f" (6-decimal fixed, correctly rounded — glibc
+// and CPython's float __mod__ produce identical bytes for every double, so
+// output is byte-identical to the Python formatter; test-enforced).
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+
+extern "C" {
+
+// Formats n feature suffixes into `out` (capacity out_cap bytes);
+// offsets[n+1] receives the running byte offsets.  Returns total bytes
+// written, or -1 if out_cap would be exceeded.
+int64_t cgx_format_features(const float* aa, const float* fss,
+                            const float* bb, const float* fge,
+                            const float* egf, const int64_t* f,
+                            const int64_t* pc, int64_t n, char* out,
+                            int64_t out_cap, int64_t* offsets) {
+  int64_t w = 0;
+  offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (out_cap - w < 256) return -1;
+    int m = snprintf(
+        out + w, (size_t)(out_cap - w),
+        "EgivenFCoherent=%f SampleCountF=%f CountEF=%f MaxLexFgivenE=%f "
+        "MaxLexEgivenF=%f IsSingletonF=%d IsSingletonFE=%d",
+        (double)aa[i], (double)fss[i], (double)bb[i], (double)fge[i],
+        (double)egf[i], (int)(f[i] == 1), (int)(pc[i] == 1));
+    if (m < 0 || m >= out_cap - w) return -1;
+    w += m;
+    offsets[i + 1] = w;
+  }
+  return w;
+}
+
+
+// Formats n COMPLETE rule lines: "[X] ||| <lexical[i]> ||| <features...>".
+// lex: concatenated UTF-8 lexical strings, lex_offs[n+1] byte offsets.
+// Returns total bytes written into out, or -1 if out_cap would be exceeded.
+int64_t cgx_format_rule_lines(const char* lex, const int64_t* lex_offs,
+                              const float* aa, const float* fss,
+                              const float* bb, const float* fge,
+                              const float* egf, const int64_t* f,
+                              const int64_t* pc, int64_t n, char* out,
+                              int64_t out_cap, int64_t* offsets) {
+  int64_t w = 0;
+  offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t ll = lex_offs[i + 1] - lex_offs[i];
+    if (out_cap - w < ll + 300) return -1;
+    std::memcpy(out + w, "[X] ||| ", 8);
+    w += 8;
+    std::memcpy(out + w, lex + lex_offs[i], (size_t)ll);
+    w += ll;
+    int m = snprintf(
+        out + w, (size_t)(out_cap - w),
+        " ||| EgivenFCoherent=%f SampleCountF=%f CountEF=%f "
+        "MaxLexFgivenE=%f MaxLexEgivenF=%f IsSingletonF=%d IsSingletonFE=%d",
+        (double)aa[i], (double)fss[i], (double)bb[i], (double)fge[i],
+        (double)egf[i], (int)(f[i] == 1), (int)(pc[i] == 1));
+    if (m < 0 || m >= out_cap - w) return -1;
+    w += m;
+    offsets[i + 1] = w;
+  }
+  return w;
+}
+
+}  // extern "C"

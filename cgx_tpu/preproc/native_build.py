@@ -57,6 +57,15 @@ def load_native():
             ctypes.c_char_p, ctypes.c_long, i32p, i32p, i64p, i32p,
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long)]
         lib.cgx_tokenize.restype = ctypes.c_long
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.cgx_format_features.argtypes = [
+            f32p, f32p, f32p, f32p, f32p, i64p, i64p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, i64p]
+        lib.cgx_format_features.restype = ctypes.c_int64
+        lib.cgx_format_rule_lines.argtypes = [
+            ctypes.c_char_p, i64p, f32p, f32p, f32p, f32p, f32p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64, i64p]
+        lib.cgx_format_rule_lines.restype = ctypes.c_int64
         _lib = lib
         return _lib
 

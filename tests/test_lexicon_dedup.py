@@ -115,3 +115,28 @@ def test_target_key_rows_empty_and_partial_chunks():
              for i in range(0, n, 64)]
     np.testing.assert_array_equal(np.concatenate(parts), ref)
     np.testing.assert_array_equal(lx._target_key_rows(tgt, ts, te), ref)
+
+
+def test_native_format_lines_matches_python():
+    """cgx_format_features (C snprintf) must produce byte-identical lines to
+    the Python %-formatter for random feature values."""
+    from cgx_tpu.grammar import writer as gw
+    from cgx_tpu.preproc.native_build import load_native
+    if load_native() is None:
+        pytest.skip("native library unavailable")
+
+    class T:
+        pass
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = T()
+    t.lexical = [f"f{i} ||| e{i}" for i in range(n)]
+    t.aa = (rng.standard_normal(n) * 3).astype(np.float32)
+    t.fsample_score = rng.random(n).astype(np.float32) * 6
+    t.bb = rng.random(n).astype(np.float32) * 6
+    t.max_lex_fge = (rng.random(n) * 20 - 1).astype(np.float32)
+    t.max_lex_egf = np.zeros(n, np.float32)
+    t.f = rng.integers(1, 4, size=n).astype(np.int64)
+    t.paircount = rng.integers(1, 3, size=n).astype(np.int64)
+    assert gw.format_lines(t) == gw._format_lines_py(t)

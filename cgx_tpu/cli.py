@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["tpu", "oracle"], default="tpu")
     p.add_argument("--index-dir", default=None,
                    help="persisted corpus-index dir (built on first use)")
+    p.add_argument("--build-index-only", action="store_true",
+                   help="build + persist the corpus index (requires "
+                        "--index-dir) and exit without running queries; the "
+                        "query-file argument is ignored")
     p.add_argument("--no-sample", action="store_true",
                    help="disable occurrence sampling (grammar.<i>.n outputs)")
     p.add_argument("--profile", metavar="DIR", default=None,
@@ -69,11 +73,17 @@ def main(argv=None) -> int:
               "no effect on output (buffer-sizing-only flag in the reference)",
               file=sys.stderr)
     import os
-    for name in ("reffile", "qryfile", "reftargetfile", "alignfile", "lexfile"):
+    checked = ("reffile", "reftargetfile", "alignfile", "lexfile") \
+        if args.build_index_only else \
+        ("reffile", "qryfile", "reftargetfile", "alignfile", "lexfile")
+    for name in checked:
         path = getattr(args, name)
         if not os.path.exists(path):
             print(f'Can not open {name} "{path}"', file=sys.stderr)
             return 1
+    if args.build_index_only and not args.index_dir:
+        print("--build-index-only requires --index-dir", file=sys.stderr)
+        return 1
     cfg = dataclasses.replace(
         DEFAULT_CONFIG, minmatchlen=args.minmatchlen, fingerlen=args.fingerlen,
         is_sample=not args.no_sample)
@@ -82,7 +92,20 @@ def main(argv=None) -> int:
         import jax
         jax.profiler.start_trace(args.profile)
     res = None
-    if args.coordinator is not None:
+    if args.build_index_only:
+        from cgx_tpu.pipeline import build_artifact
+        from cgx_tpu.preproc import corpus as cp
+        with open(args.reffile, encoding="utf-8") as fh:
+            f_text = fh.read()
+        with open(args.reftargetfile, encoding="utf-8") as fh:
+            e_text = fh.read()
+        _, _, t, _ = build_artifact(
+            f_text, e_text, cp.read_lines(args.alignfile),
+            cp.read_tokens(args.lexfile), cfg, index_dir=args.index_dir,
+            sa_shards=args.sa_shards)
+        print(f"index built at {args.index_dir}: {t.report()}",
+              file=sys.stderr)
+    elif args.coordinator is not None:
         from cgx_tpu.parallel import multihost
         from cgx_tpu.preproc import corpus as cp
         multihost.initialize(args.coordinator, args.num_processes,

@@ -500,7 +500,13 @@ def _dedup(cid, key_rows):
         full = np.concatenate(
             [full, np.zeros((len(full), 1), np.int32)], axis=1)
     packed = np.ascontiguousarray(full).view(np.int64)
-    cols = [packed[:, k] for k in range(packed.shape[1])]
+    # constant columns (trailing pad words, single-symbol corpora) can't
+    # split groups: drop them before paying a radix pass + gather each
+    cols = [c for k in range(packed.shape[1])
+            for c in [packed[:, k]]
+            if n == 0 or c[0] != c[-1] or (c != c[0]).any()]
+    if not cols:
+        cols = [packed[:, 0]] if packed.shape[1] else [np.zeros(n, np.int64)]
     perm = np.lexsort(cols[::-1])           # stable; primary key = column 0
     neq = np.zeros(n - 1, dtype=bool) if n else np.zeros(0, dtype=bool)
     for c in cols:
@@ -636,10 +642,15 @@ def _finalize_fast(cids, first_idx, counts, fsample_arr, fs_dist, src_of,
         mk.mark("render")
     n = len(first_idx)
     z = np.zeros(n, np.float32)
+    # the source name is a pure function of the pattern id (cid) — build each
+    # once and index, instead of n python-call + dict-lookup round trips
+    uc, ufirst, uinv = np.unique(cid_d, return_index=True,
+                                 return_inverse=True)
+    names = [src_of(int(first_idx[k])) for k in ufirst]
     return RuleTable(
         blocknumber=cid_d,
-        lexical=[src_of(int(i)) + " ||| " + t
-                 for i, t in zip(first_idx, tgt_strs)],
+        lexical=[names[j] + " ||| " + t
+                 for j, t in zip(uinv, tgt_strs)],
         fsample=fs.astype(np.int64, copy=False), fsample_score=fscore,
         f=f_arr.astype(np.int64, copy=False),
         paircount=pc,

@@ -178,6 +178,81 @@ class ReplicatedEngine:
 
     def scan_expanded(self, queries, fwd, lo, counts, sl, el, side,
                       fetch=True):
+        import os
+        if os.environ.get("CGX_SCAN_COLS"):
+            return self._scan_expanded_cols(queries, fwd, lo, counts, sl, el,
+                                            side, fetch)
+        from cgx_tpu.search.lookup import _scan_batch_exp
+        from cgx_tpu.utils.batching import (chunk_plan, bucket_size,
+                                            MIN_BUCKET, compile_pool, Pending)
+        ix, cfg = self.index, self.cfg
+        counts = np.asarray(counts, np.int64)
+        offs = _offsets(counts)
+        N = int(offs[-1])
+        D = len(counts)
+        qtok = self._qtok_host(queries)
+        sl64 = np.asarray(sl, np.int64)
+        el64 = np.asarray(el, np.int64)
+        side64 = np.asarray(side, np.int64)
+        # per-pattern field rows: SA-range lo, sl, el, three resolved q tokens
+        pattab = np.zeros((bucket_size(max(D, 1)), 8), np.int32)
+        pattab[:D, 0] = np.asarray(lo, np.int64)
+        pattab[:D, 1] = sl64
+        pattab[:D, 2] = el64
+        if fwd:
+            pattab[:D, 3] = qtok[side64]
+            pattab[:D, 4] = qtok[side64 + 1]
+            pattab[:D, 5] = qtok[side64 + 2]
+        else:
+            pattab[:D, 3] = qtok[side64 + sl64 - 1]
+            pattab[:D, 4] = qtok[side64 + np.maximum(sl64 - 2, 0)]
+            pattab[:D, 5] = qtok[side64 + np.maximum(sl64 - 3, 0)]
+        offs_pad = np.full(len(pattab) + 1, offs[-1], np.int64)
+        offs_pad[:D + 1] = offs
+        pattab_d = jnp.asarray(pattab)
+        offs_d = jnp.asarray(offs_pad.astype(np.int32))
+
+        def _disp(s_, pat0_, n_call_):
+            return _scan_batch_exp(
+                ix.refstr_padded, ix.rlp, ix.lr_tar, ix.sa, pattab_d, offs_d,
+                jnp.int32(s_), jnp.int32(pat0_), jnp.int32(D), ix.offs0,
+                cfg.max_rule_span, cfg.min_gap_size, fwd, n_call_)
+
+        plan = []
+        s = 0
+        for ni in chunk_plan(N, SCAN_CHUNK, SCAN_CHUNK // 8):
+            n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
+                else bucket_size(ni)
+            pat0 = max(int(np.searchsorted(offs, s, side="right")) - 1, 0)
+            plan.append((s, pat0, n_call, ni))
+            s += ni
+        results = [None] * len(plan)
+        first_of_size = {}
+        for i, (_, _, n_call, _) in enumerate(plan):
+            first_of_size.setdefault(n_call, i)
+        if len(first_of_size) > 1:
+            futs = [(i, compile_pool().submit(_disp, *plan[i][:3]))
+                    for i in first_of_size.values()]
+            for i, fut in futs:
+                results[i] = fut.result()
+        for i, (s_, pat0_, n_call_, _) in enumerate(plan):
+            if results[i] is None:
+                results[i] = _disp(s_, pat0_, n_call_)
+        pending = [(results[i], plan[i][3]) for i in range(len(plan))]
+
+        def _post():
+            import jax
+            parts = [np.asarray(jax.device_get(res)[0])[:ni]
+                     for res, ni in pending]
+            mask = np.concatenate(parts) if parts \
+                else np.empty(0, np.int32)
+            return (mask,)
+        return _post() if fetch else Pending(_post)
+
+    def _scan_expanded_cols(self, queries, fwd, lo, counts, sl, el, side,
+                            fetch=True):
+        """Column-upload variant (CGX_SCAN_COLS=1 A/B diagnostic): 24 B/item
+        H2D of host-resolved per-item fields."""
         from cgx_tpu.search.lookup import _scan_batch_cols
         ix, cfg = self.index, self.cfg
         item_pat, tx = materialize_items(counts)
@@ -204,6 +279,79 @@ class ReplicatedEngine:
             parallel_compile=True)
 
     def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True):
+        import os
+        if os.environ.get("CGX_SCAN_COLS"):
+            return self._two_expanded_cols(onegap_sa, pc, lo, counts, pcmode,
+                                           fetch)
+        from cgx_tpu.search.lookup import _two_batch_exp
+        from cgx_tpu.utils.batching import (chunk_plan, bucket_size,
+                                            MIN_BUCKET, compile_pool, Pending)
+        ix, cfg = self.index, self.cfg
+        counts = np.asarray(counts, np.int64)
+        offs = _offsets(counts)
+        N = int(offs[-1])
+        D = len(counts)
+        ogrows = getattr(onegap_sa, "_dev_rows", None)
+        if ogrows is None:
+            n_og = max(len(onegap_sa.str_position), 1)
+            host = np.zeros((bucket_size(n_og), 2), np.int32)
+            host[:len(onegap_sa.str_position), 0] = onegap_sa.str_position
+            host[:len(onegap_sa.length), 1] = onegap_sa.length
+            ogrows = jnp.asarray(host)
+            try:
+                onegap_sa._dev_rows = ogrows
+            except Exception:
+                pass
+        pcrows = self._pc_rows_dev(pc)
+        pattab = np.zeros((bucket_size(max(D, 1)), 2), np.int32)
+        pattab[:D, 0] = np.asarray(lo, np.int64)
+        pattab[:D, 1] = np.asarray(pcmode, bool)
+        offs_pad = np.full(len(pattab) + 1, offs[-1], np.int64)
+        offs_pad[:D + 1] = offs
+        pattab_d = jnp.asarray(pattab)
+        offs_d = jnp.asarray(offs_pad.astype(np.int32))
+
+        def _disp(s_, pat0_, n_call_):
+            return _two_batch_exp(
+                ix.refstr_padded, ix.rlp, ix.lr_tar, ogrows, pcrows, pattab_d,
+                offs_d, jnp.int32(s_), jnp.int32(pat0_), jnp.int32(D),
+                ix.offs0, cfg.max_rule_span, cfg.min_gap_size, n_call_)
+
+        plan = []
+        s = 0
+        for ni in chunk_plan(N, SCAN_CHUNK, SCAN_CHUNK // 8):
+            n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
+                else bucket_size(ni)
+            pat0 = max(int(np.searchsorted(offs, s, side="right")) - 1, 0)
+            plan.append((s, pat0, n_call, ni))
+            s += ni
+        results = [None] * len(plan)
+        first_of_size = {}
+        for i, (_, _, n_call, _) in enumerate(plan):
+            first_of_size.setdefault(n_call, i)
+        if len(first_of_size) > 1:
+            futs = [(i, compile_pool().submit(_disp, *plan[i][:3]))
+                    for i in first_of_size.values()]
+            for i, fut in futs:
+                results[i] = fut.result()
+        for i, (s_, pat0_, n_call_, _) in enumerate(plan):
+            if results[i] is None:
+                results[i] = _disp(s_, pat0_, n_call_)
+        pending = [(results[i], plan[i][3]) for i in range(len(plan))]
+
+        def _post():
+            import jax
+            parts = [np.asarray(jax.device_get(res)[0])[:ni]
+                     for res, ni in pending]
+            comb = (np.concatenate(parts) if parts
+                    else np.empty(0, np.uint32)).astype(np.uint32)
+            return (comb & 0xFFFF).astype(np.int64), \
+                ((comb >> 16) & 0xFFFF).astype(np.int64)
+        return _post() if fetch else Pending(_post)
+
+    def _two_expanded_cols(self, onegap_sa, pc, lo, counts, pcmode,
+                           fetch=True):
+        """Column-upload variant (CGX_SCAN_COLS=1 A/B diagnostic)."""
         from cgx_tpu.search.lookup import _two_batch_packed
         ix, cfg = self.index, self.cfg
         item_pat, tx = materialize_items(counts)

@@ -265,7 +265,9 @@ def _probe_bests_device(index, src_pat, t0, tend, g1, g11, g2, g21):
         rs, re, lt, lv1, lv2, steps = tabs
         fn = lambda *a: _probe_batch_range(rs, re, lt, lv1, lv2, tgt_dev, *a,
                                            steps=steps)
-    out = chunked_batch(fn, cols)
+    # single-device probe programs (the sharded layout scores on the host
+    # lex index, never here) — first-time compiles overlap on the pool
+    out = chunked_batch(fn, cols, parallel_compile=True)
     return out[0], out[1]
 
 

@@ -260,6 +260,26 @@ def _pcs_batch_exp(refstr, pcrows, pattab, offs_pad, start, pat0, d_real,
                     axis=1, dtype=jnp.uint32),)
 
 
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd", "n"))
+def _scan_batch_exp(refstr, rlp, lr_tar, sa, pattab, offs_pad, start, pat0,
+                    d_real, offs, mrs, mgs, fwd, n):
+    """Forward/backward scans with on-device item expansion: per item one
+    cumsum-expand word (tx), one [8]-row gather of per-pattern fields
+    (SA-range lo, sl, el, the three pre-resolved query tokens), one gather of
+    the device-resident SA for gostart, and the item kernel's own corpus
+    windows — H2D per dispatch is O(patterns), not O(items) (the column
+    variant shipped 24 B/item, which dominated the lookup phases at
+    whole-test-set batch sizes through the ~40 MB/s relay)."""
+    refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
+    pat, tx = _cumsum_expand(offs_pad, start, pat0, d_real, n)
+    f = pattab[pat]                              # [n, 8]
+    row = jnp.clip(f[:, 0] + tx, 0, sa.shape[0] - 1)
+    gostart = sa[row]
+    item = _fwd_item if fwd else _bwd_item
+    ff = functools.partial(item, refstr, rlp, lr_tar, mrs, mgs)
+    return jax.vmap(ff)(gostart, f[:, 1], f[:, 2], f[:, 3], f[:, 4], f[:, 5])
+
+
 def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
                        search: OneGapSearch, pc: Precomp,
                        cfg: ExtractorConfig, engine=None) -> GapOnSA:
@@ -458,6 +478,28 @@ def _two_batch_packed(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
     f = functools.partial(_two_item, refstr, rlp, lr_tar, mrs, mgs)
     cand, gc = jax.vmap(f)(pstart, plen)
+    return (cand.astype(jnp.uint32) | (gc.astype(jnp.uint32) << 16),)
+
+
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "n"))
+def _two_batch_exp(refstr, rlp, lr_tar, ogrows, pcrows, pattab, offs_pad,
+                   start, pat0, d_real, offs, mrs, mgs, n):
+    """_two_batch_packed with on-device item expansion: per item one
+    cumsum-expand word, one [2]-row gather of per-pattern fields (occurrence
+    row base, pcmode), and one [2]-row gather of the (start, len) occurrence
+    from the device-resident onegap results or precomp rows — H2D per
+    dispatch is O(patterns) plus ONE upload of the batch's onegap occurrence
+    rows (the column variant shipped 8 B/item)."""
+    refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
+    pat, tx = _cumsum_expand(offs_pad, start, pat0, d_real, n)
+    f = pattab[pat]                              # [n, 2]: lo, pcmode
+    row = f[:, 0] + tx
+    ogr = ogrows[jnp.clip(row, 0, ogrows.shape[0] - 1)]
+    pcr = pcrows[jnp.clip(row, 0, pcrows.shape[0] - 1)]
+    pcm = (f[:, 1] > 0)[:, None]
+    sel = jnp.where(pcm, pcr, ogr)               # [n, 2] (start, len)
+    ff = functools.partial(_two_item, refstr, rlp, lr_tar, mrs, mgs)
+    cand, gc = jax.vmap(ff)(sel[:, 0], sel[:, 1])
     return (cand.astype(jnp.uint32) | (gc.astype(jnp.uint32) << 16),)
 
 

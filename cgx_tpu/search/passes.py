@@ -242,7 +242,7 @@ def pass1_tpu(index, queries) -> Pass1Result:
             index.refstr_padded, index.sa, index.lcpleft, index.lcpright,
             index.device_query_tokens(queries), jnp.asarray(a),
             jnp.asarray(b), jnp.int32(index.reflen)),
-        [toks, suffixlens])
+        [toks, suffixlens], parallel_compile=True)
     return Pass1Result(up=up, down=down, firstfindhit=ffh, firstfindhitL=ffl,
                        firstfindhitR=ffr, longestmatch=lm)
 
@@ -275,5 +275,5 @@ def pass2_tpu(index, queries, p1: Pass1Result) -> Pass2Result:
             index.device_query_tokens(queries),
             *(jnp.asarray(x) for x in a)),
         [toks, matches, p1.firstfindhitL[toks], p1.firstfindhit[toks],
-         p1.firstfindhitR[toks]])
+         p1.firstfindhitR[toks]], parallel_compile=True)
     return Pass2Result(connectoffset=connectoffset, up=up, down=down)

@@ -58,6 +58,37 @@ def expand_hits(hit_idx, counts, ids=None):
 
 
 
+
+def _expanded_dispatch(disp, N, offs, chunk):
+    """pow2 chunk plan over an expanded item axis with concurrent
+    first-per-size dispatch (the shared boilerplate of the *_expanded
+    methods): ``disp(start, pat0, n_call)`` dispatches items
+    [start, start+n_call); returns [(result, n_real)] in chunk order."""
+    from cgx_tpu.utils.batching import (chunk_plan, bucket_size, MIN_BUCKET,
+                                        compile_pool)
+    plan = []
+    s = 0
+    for ni in chunk_plan(N, chunk, chunk // 8):
+        n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
+            else bucket_size(ni)
+        pat0 = max(int(np.searchsorted(offs, s, side="right")) - 1, 0)
+        plan.append((s, pat0, n_call, ni))
+        s += ni
+    results = [None] * len(plan)
+    first_of_size = {}
+    for i, (_, _, n_call, _) in enumerate(plan):
+        first_of_size.setdefault(n_call, i)
+    if len(first_of_size) > 1:
+        futs = [(i, compile_pool().submit(disp, *plan[i][:3]))
+                for i in first_of_size.values()]
+        for i, f in futs:
+            results[i] = f.result()
+    for i, (s_, pat0_, n_call_, _) in enumerate(plan):
+        if results[i] is None:
+            results[i] = disp(s_, pat0_, n_call_)
+    return [(results[i], plan[i][3]) for i in range(len(plan))]
+
+
 class ReplicatedEngine:
     """Single-device dispatch against a fully-resident GrammarIndex.
 
@@ -110,7 +141,7 @@ class ReplicatedEngine:
     def pcs_expanded(self, queries, pc, base, counts, sl, el, tok, stok,
                      fetch=True):
         from cgx_tpu.search.lookup import _pcs_batch_exp
-        from cgx_tpu.utils.batching import chunk_plan, bucket_size, MIN_BUCKET
+        from cgx_tpu.utils.batching import bucket_size
         ix, cfg = self.index, self.cfg
         counts = np.asarray(counts, np.int64)
         offs = _offsets(counts)
@@ -135,35 +166,13 @@ class ReplicatedEngine:
         pcrows = self._pc_rows_dev(pc)
         pattab_d = jnp.asarray(pattab)
         offs_d = jnp.asarray(offs_pad.astype(np.int32))
-        plan = []
-        s = 0
-        for ni in chunk_plan(N, PCS_CHUNK, PCS_CHUNK // 8):
-            n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
-                else bucket_size(ni)
-            pat0 = max(int(np.searchsorted(offs, s, side="right")) - 1, 0)
-            plan.append((s, pat0, n_call, ni))
-            s += ni
-
         def _disp(s_, pat0_, n_call_):
             return _pcs_batch_exp(
                 ix.refstr_padded, pcrows, pattab_d, offs_d, jnp.int32(s_),
                 jnp.int32(pat0_), jnp.int32(D), ix.offs0, cfg.max_rule_span,
                 n_call_)
 
-        from cgx_tpu.utils.batching import compile_pool
-        results = [None] * len(plan)
-        first_of_size = {}
-        for i, (_, _, n_call, _) in enumerate(plan):
-            first_of_size.setdefault(n_call, i)
-        if len(first_of_size) > 1:
-            futs = [(i, compile_pool().submit(_disp, *plan[i][:3]))
-                    for i in first_of_size.values()]
-            for i, f in futs:
-                results[i] = f.result()
-        for i, (s_, pat0_, n_call_, _) in enumerate(plan):
-            if results[i] is None:
-                results[i] = _disp(s_, pat0_, n_call_)
-        pending = [(results[i], plan[i][3]) for i in range(len(plan))]
+        pending = _expanded_dispatch(_disp, N, offs, PCS_CHUNK)
 
         def _post():
             import jax
@@ -183,8 +192,7 @@ class ReplicatedEngine:
             return self._scan_expanded_cols(queries, fwd, lo, counts, sl, el,
                                             side, fetch)
         from cgx_tpu.search.lookup import _scan_batch_exp
-        from cgx_tpu.utils.batching import (chunk_plan, bucket_size,
-                                            MIN_BUCKET, compile_pool, Pending)
+        from cgx_tpu.utils.batching import bucket_size
         ix, cfg = self.index, self.cfg
         counts = np.asarray(counts, np.int64)
         offs = _offsets(counts)
@@ -218,27 +226,7 @@ class ReplicatedEngine:
                 jnp.int32(s_), jnp.int32(pat0_), jnp.int32(D), ix.offs0,
                 cfg.max_rule_span, cfg.min_gap_size, fwd, n_call_)
 
-        plan = []
-        s = 0
-        for ni in chunk_plan(N, SCAN_CHUNK, SCAN_CHUNK // 8):
-            n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
-                else bucket_size(ni)
-            pat0 = max(int(np.searchsorted(offs, s, side="right")) - 1, 0)
-            plan.append((s, pat0, n_call, ni))
-            s += ni
-        results = [None] * len(plan)
-        first_of_size = {}
-        for i, (_, _, n_call, _) in enumerate(plan):
-            first_of_size.setdefault(n_call, i)
-        if len(first_of_size) > 1:
-            futs = [(i, compile_pool().submit(_disp, *plan[i][:3]))
-                    for i in first_of_size.values()]
-            for i, fut in futs:
-                results[i] = fut.result()
-        for i, (s_, pat0_, n_call_, _) in enumerate(plan):
-            if results[i] is None:
-                results[i] = _disp(s_, pat0_, n_call_)
-        pending = [(results[i], plan[i][3]) for i in range(len(plan))]
+        pending = _expanded_dispatch(_disp, N, offs, SCAN_CHUNK)
 
         def _post():
             import jax
@@ -284,8 +272,7 @@ class ReplicatedEngine:
             return self._two_expanded_cols(onegap_sa, pc, lo, counts, pcmode,
                                            fetch)
         from cgx_tpu.search.lookup import _two_batch_exp
-        from cgx_tpu.utils.batching import (chunk_plan, bucket_size,
-                                            MIN_BUCKET, compile_pool, Pending)
+        from cgx_tpu.utils.batching import bucket_size
         ix, cfg = self.index, self.cfg
         counts = np.asarray(counts, np.int64)
         offs = _offsets(counts)
@@ -317,27 +304,7 @@ class ReplicatedEngine:
                 offs_d, jnp.int32(s_), jnp.int32(pat0_), jnp.int32(D),
                 ix.offs0, cfg.max_rule_span, cfg.min_gap_size, n_call_)
 
-        plan = []
-        s = 0
-        for ni in chunk_plan(N, SCAN_CHUNK, SCAN_CHUNK // 8):
-            n_call = ni if (ni & (ni - 1)) == 0 and ni >= MIN_BUCKET \
-                else bucket_size(ni)
-            pat0 = max(int(np.searchsorted(offs, s, side="right")) - 1, 0)
-            plan.append((s, pat0, n_call, ni))
-            s += ni
-        results = [None] * len(plan)
-        first_of_size = {}
-        for i, (_, _, n_call, _) in enumerate(plan):
-            first_of_size.setdefault(n_call, i)
-        if len(first_of_size) > 1:
-            futs = [(i, compile_pool().submit(_disp, *plan[i][:3]))
-                    for i in first_of_size.values()]
-            for i, fut in futs:
-                results[i] = fut.result()
-        for i, (s_, pat0_, n_call_, _) in enumerate(plan):
-            if results[i] is None:
-                results[i] = _disp(s_, pat0_, n_call_)
-        pending = [(results[i], plan[i][3]) for i in range(len(plan))]
+        pending = _expanded_dispatch(_disp, N, offs, SCAN_CHUNK)
 
         def _post():
             import jax

@@ -20,7 +20,8 @@ and answers on stdout:
 
 Usage:
     python -m cgx_tpu.serve <source_corpus> <target_corpus> <alignment_file> \
-        <lex_file> [--index-dir DIR] [--sa-shards N] [--no-sample]
+        <lex_file> [--index-dir DIR] [--sa-shards N] [--no-sample] \
+        [--prewarm QRYFILE]
 """
 
 from __future__ import annotations
@@ -34,9 +35,13 @@ from cgx_tpu.config import DEFAULT_CONFIG
 
 def serve_loop(reffile, tarfile, alignfile, lexfile, cfg=DEFAULT_CONFIG,
                index_dir=None, sa_shards: int = 0,
-               inp=None, out=None):
+               inp=None, out=None, prewarm=None):
     """Run the serve protocol over ``inp``/``out`` streams (stdin/stdout by
-    default).  Returns the number of requests served."""
+    default).  Returns the number of requests served.
+
+    ``prewarm`` names an optional query file run through the full engine
+    (output discarded) BEFORE ``ready`` is printed, so the first real
+    request does not pay the first-touch compiled-program loads."""
     from cgx_tpu import pipeline as tpl
     from cgx_tpu.preproc import corpus as cp
     from cgx_tpu.grammar import writer as gw
@@ -54,6 +59,10 @@ def serve_loop(reffile, tarfile, alignfile, lexfile, cfg=DEFAULT_CONFIG,
         f_text, e_text, cp.read_lines(alignfile), cp.read_tokens(lexfile),
         cfg, index_dir=index_dir, sa_shards=sa_shards)
     ctx = tpl._make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc)
+    if prewarm is not None:
+        wq = cp.load_queries(cp.read_lines(prewarm), art.source.vocab)
+        wt = PhaseTimer()
+        tpl._back_stages(ctx, wq, tpl._front_stages(ctx, wq, cfg, wt), cfg, wt)
     print(f"ready {time.perf_counter() - t0:.3f}", file=out, flush=True)
 
     served = 0
@@ -92,11 +101,15 @@ def main(argv=None) -> int:
     p.add_argument("--index-dir", default=None)
     p.add_argument("--sa-shards", type=int, default=0)
     p.add_argument("--no-sample", action="store_true")
+    p.add_argument("--prewarm", default=None, metavar="QRYFILE",
+                   help="run this query batch (output discarded) before "
+                        "printing ready, absorbing first-touch program loads")
     args = p.parse_args(argv)
     import dataclasses
     cfg = dataclasses.replace(DEFAULT_CONFIG, is_sample=not args.no_sample)
     serve_loop(args.reffile, args.reftargetfile, args.alignfile, args.lexfile,
-               cfg, index_dir=args.index_dir, sa_shards=args.sa_shards)
+               cfg, index_dir=args.index_dir, sa_shards=args.sa_shards,
+               prewarm=args.prewarm)
     return 0
 
 

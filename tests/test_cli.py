@@ -85,7 +85,7 @@ def test_serve_loop_byte_identical_across_requests(toy_fixture, tmp_path):
     out = io.StringIO()
     served = serve.serve_loop(str(F / "corpus.f"), str(F / "corpus.e"),
                               str(F / "corpus.a"), str(F / "lex.txt"),
-                              inp=req, out=out)
+                              inp=req, out=out, prewarm=str(q_small))
     assert served == 3
     replies = out.getvalue().splitlines()
     assert replies[0].startswith("ready ")

@@ -104,6 +104,11 @@ def main():
                          "for a virtual mesh)")
     ap.add_argument("--query-batches", type=int, default=0,
                     help="run the pipeline-overlap mode with B query batches")
+    ap.add_argument("--dp-devices", type=int, default=0,
+                    help="single-process local query-DP: replicate the index "
+                         "per device and fan the work items over N local "
+                         "devices (with --cpu, set XLA_FLAGS=--xla_force_"
+                         "host_platform_device_count=N for a virtual mesh)")
     ap.add_argument("--index-dir", default=None,
                     help="persist/load the corpus index (amortizes the "
                          "one-time build across reps; default: a per-size "
@@ -139,9 +144,11 @@ def main():
         if args.query_batches > 1:
             return tpl.run_pipeline_overlap(*data, cfg, index_dir=index_dir,
                                             query_batches=args.query_batches,
-                                            sa_shards=args.sa_shards)
+                                            sa_shards=args.sa_shards,
+                                            dp_devices=args.dp_devices)
         return tpl.run_pipeline(*data, cfg, index_dir=index_dir,
-                                sa_shards=args.sa_shards)
+                                sa_shards=args.sa_shards,
+                                dp_devices=args.dp_devices)
 
     warmup_s = -1.0
     if not args.no_warmup:
@@ -213,6 +220,8 @@ def main():
           f"(x{vs:.2f} over our first chip run of {BASELINE_QPS} qry/s)",
           file=sys.stderr)
     tag = f"_sharded{args.sa_shards}" if args.sa_shards else ""
+    if args.dp_devices:
+        tag += f"_dp{args.dp_devices}"
     print(json.dumps({
         "metric": f"query_sentences_per_s_{args.size}{tag}",
         "value": round(qps, 4),

@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sharded-index mode: split every O(corpus) device "
                         "array across N devices (corpora beyond one chip's "
                         "HBM)")
+    p.add_argument("--dp-devices", type=int, default=0, metavar="N",
+                   help="local query data parallelism: replicate the index "
+                        "on N local devices and fan every device stage's "
+                        "work items across them from this one process "
+                        "(byte-identical output; for indexes that fit one "
+                        "device's HBM)")
     p.add_argument("--query-batches", type=int, default=0, metavar="B",
                    help="pipeline overlap: split queries into B batches and "
                         "run batch i's host scoring concurrently with batch "
@@ -83,6 +89,11 @@ def main(argv=None) -> int:
             return 1
     if args.build_index_only and not args.index_dir:
         print("--build-index-only requires --index-dir", file=sys.stderr)
+        return 1
+    if args.sa_shards and args.dp_devices:
+        print("--sa-shards and --dp-devices are mutually exclusive layouts "
+              "(sharded index vs replicated-per-device index)",
+              file=sys.stderr)
         return 1
     cfg = dataclasses.replace(
         DEFAULT_CONFIG, minmatchlen=args.minmatchlen, fingerlen=args.fingerlen,
@@ -132,7 +143,8 @@ def main(argv=None) -> int:
                                  args.lexfile, args.dest_dir, cfg,
                                  index_dir=args.index_dir,
                                  sa_shards=args.sa_shards,
-                                 query_batches=args.query_batches)
+                                 query_batches=args.query_batches,
+                                 dp_devices=args.dp_devices)
     if args.profile:
         import jax
         jax.profiler.stop_trace()

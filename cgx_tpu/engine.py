@@ -59,11 +59,13 @@ def expand_hits(hit_idx, counts, ids=None):
 
 
 
-def _expanded_dispatch(disp, N, offs, chunk):
+def _expanded_dispatch(disp, N, offs, chunk, parallel=True):
     """pow2 chunk plan over an expanded item axis with concurrent
     first-per-size dispatch (the shared boilerplate of the *_expanded
     methods): ``disp(start, pat0, n_call)`` dispatches items
-    [start, start+n_call); returns [(result, n_real)] in chunk order."""
+    [start, start+n_call); returns [(result, n_real)] in chunk order.
+    ``parallel=False`` keeps every dispatch on the calling thread (used by
+    per-device sub-engines whose callers already run on the pool)."""
     from cgx_tpu.utils.batching import (chunk_plan, bucket_size, MIN_BUCKET,
                                         compile_pool)
     plan = []
@@ -75,14 +77,15 @@ def _expanded_dispatch(disp, N, offs, chunk):
         plan.append((s, pat0, n_call, ni))
         s += ni
     results = [None] * len(plan)
-    first_of_size = {}
-    for i, (_, _, n_call, _) in enumerate(plan):
-        first_of_size.setdefault(n_call, i)
-    if len(first_of_size) > 1:
-        futs = [(i, compile_pool().submit(disp, *plan[i][:3]))
-                for i in first_of_size.values()]
-        for i, f in futs:
-            results[i] = f.result()
+    if parallel:
+        first_of_size = {}
+        for i, (_, _, n_call, _) in enumerate(plan):
+            first_of_size.setdefault(n_call, i)
+        if len(first_of_size) > 1:
+            futs = [(i, compile_pool().submit(disp, *plan[i][:3]))
+                    for i in first_of_size.values()]
+            for i, f in futs:
+                results[i] = f.result()
     for i, (s_, pat0_, n_call_, _) in enumerate(plan):
         if results[i] is None:
             results[i] = disp(s_, pat0_, n_call_)
@@ -107,10 +110,23 @@ class ReplicatedEngine:
     # dispatch in the same order
     parallel_dispatch_safe = True
 
-    def __init__(self, index, sa_host: np.ndarray, cfg):
+    def __init__(self, index, sa_host: np.ndarray, cfg, device=None):
         self.index = index
         self.sa_host = sa_host
         self.cfg = cfg
+        # ``device``: pin every upload/program to one local device (the
+        # LocalDPEngine runs one sub-engine per device).  Sub-engines keep
+        # their dispatches on the calling thread — their callers already fan
+        # out, so nesting onto the shared compile pool could starve it.
+        self.device = device
+        self._parallel = device is None
+
+    def _put(self, x):
+        """Host->device upload committed to this engine's device."""
+        if self.device is None:
+            return jnp.asarray(x)
+        import jax
+        return jax.device_put(x, self.device)
 
     def sa_values(self, rows) -> np.ndarray:
         return self.sa_host[np.asarray(rows, np.int64)].astype(np.int32)
@@ -121,9 +137,48 @@ class ReplicatedEngine:
         on the QuerySet instance (lifetime-tied, no id() aliasing)."""
         return queries.padded_tokens()
 
+    def _qtok_dev(self, queries):
+        """Device query tokens committed to this engine's device (cached per
+        placement on the QuerySet instance)."""
+        return queries.device_tokens(self.device)
+
+    def pass1_items(self, queries, toks, suffixlens, fetch=True):
+        """Pass-1 LCP binary search over an explicit token-item slice
+        (search.passes._pass1_batch); returns the 6 result columns."""
+        from cgx_tpu.search.passes import _pass1_batch
+        ix = self.index
+        return chunked_batch(
+            lambda a, b: _pass1_batch(
+                ix.refstr_padded, ix.sa, ix.lcpleft, ix.lcpright,
+                self._qtok_dev(queries), self._put(a), self._put(b),
+                jnp.int32(ix.reflen)),
+            [np.asarray(toks, np.int32), np.asarray(suffixlens, np.int32)],
+            fetch=fetch, parallel_compile=self._parallel)
+
+    def pass2_items(self, queries, toks, matches, LLs, MMs, RRs, fetch=True):
+        """Pass-2 range search over an explicit work-item slice."""
+        from cgx_tpu.search.passes import _pass2_batch
+        ix = self.index
+        return chunked_batch(
+            lambda *a: _pass2_batch(
+                ix.refstr_padded, ix.sa, ix.lcpleft, ix.lcpright,
+                self._qtok_dev(queries), *(self._put(x) for x in a)),
+            [np.asarray(toks, np.int32), np.asarray(matches, np.int32),
+             np.asarray(LLs, np.int32), np.asarray(MMs, np.int32),
+             np.asarray(RRs, np.int32)],
+            fetch=fetch, parallel_compile=self._parallel)
+
     def _pc_rows_dev(self, pc):
-        """Device-cached [n_pc, 2] (start, len) precomp occurrence rows."""
-        rows = getattr(pc, "_dev_rows", None)
+        """Device-cached [n_pc, 2] (start, len) precomp occurrence rows,
+        keyed per device (the LocalDPEngine holds one replica per device)."""
+        cache = getattr(pc, "_dev_rows", None)
+        if cache is None:
+            cache = {}
+            try:
+                pc._dev_rows = cache
+            except Exception:
+                pass
+        rows = cache.get(self.device)
         if rows is None:
             from cgx_tpu.utils.batching import bucket_size
             n = max(len(pc.onegap_start), 1)
@@ -131,11 +186,7 @@ class ReplicatedEngine:
             host = np.zeros((m, 2), np.int32)
             host[:len(pc.onegap_start), 0] = pc.onegap_start
             host[:len(pc.onegap_length), 1] = pc.onegap_length
-            rows = jnp.asarray(host)
-            try:
-                pc._dev_rows = rows
-            except Exception:
-                pass
+            rows = cache[self.device] = self._put(host)
         return rows
 
     def pcs_expanded(self, queries, pc, base, counts, sl, el, tok, stok,
@@ -164,15 +215,16 @@ class ReplicatedEngine:
         offs_pad = np.full(len(pattab) + 1, offs[-1], np.int64)
         offs_pad[:D + 1] = offs
         pcrows = self._pc_rows_dev(pc)
-        pattab_d = jnp.asarray(pattab)
-        offs_d = jnp.asarray(offs_pad.astype(np.int32))
+        pattab_d = self._put(pattab)
+        offs_d = self._put(offs_pad.astype(np.int32))
         def _disp(s_, pat0_, n_call_):
             return _pcs_batch_exp(
                 ix.refstr_padded, pcrows, pattab_d, offs_d, jnp.int32(s_),
                 jnp.int32(pat0_), jnp.int32(D), ix.offs0, cfg.max_rule_span,
                 n_call_)
 
-        pending = _expanded_dispatch(_disp, N, offs, PCS_CHUNK)
+        pending = _expanded_dispatch(_disp, N, offs, PCS_CHUNK,
+                                     parallel=self._parallel)
 
         def _post():
             import jax
@@ -217,8 +269,8 @@ class ReplicatedEngine:
             pattab[:D, 5] = qtok[side64 + np.maximum(sl64 - 3, 0)]
         offs_pad = np.full(len(pattab) + 1, offs[-1], np.int64)
         offs_pad[:D + 1] = offs
-        pattab_d = jnp.asarray(pattab)
-        offs_d = jnp.asarray(offs_pad.astype(np.int32))
+        pattab_d = self._put(pattab)
+        offs_d = self._put(offs_pad.astype(np.int32))
 
         def _disp(s_, pat0_, n_call_):
             return _scan_batch_exp(
@@ -226,7 +278,8 @@ class ReplicatedEngine:
                 jnp.int32(s_), jnp.int32(pat0_), jnp.int32(D), ix.offs0,
                 cfg.max_rule_span, cfg.min_gap_size, fwd, n_call_)
 
-        pending = _expanded_dispatch(_disp, N, offs, SCAN_CHUNK)
+        pending = _expanded_dispatch(_disp, N, offs, SCAN_CHUNK,
+                                     parallel=self._parallel)
 
         def _post():
             import jax
@@ -278,25 +331,28 @@ class ReplicatedEngine:
         offs = _offsets(counts)
         N = int(offs[-1])
         D = len(counts)
-        ogrows = getattr(onegap_sa, "_dev_rows", None)
+        ogcache = getattr(onegap_sa, "_dev_rows", None)
+        if ogcache is None:
+            ogcache = {}
+            try:
+                onegap_sa._dev_rows = ogcache
+            except Exception:
+                pass
+        ogrows = ogcache.get(self.device)
         if ogrows is None:
             n_og = max(len(onegap_sa.str_position), 1)
             host = np.zeros((bucket_size(n_og), 2), np.int32)
             host[:len(onegap_sa.str_position), 0] = onegap_sa.str_position
             host[:len(onegap_sa.length), 1] = onegap_sa.length
-            ogrows = jnp.asarray(host)
-            try:
-                onegap_sa._dev_rows = ogrows
-            except Exception:
-                pass
+            ogrows = ogcache[self.device] = self._put(host)
         pcrows = self._pc_rows_dev(pc)
         pattab = np.zeros((bucket_size(max(D, 1)), 2), np.int32)
         pattab[:D, 0] = np.asarray(lo, np.int64)
         pattab[:D, 1] = np.asarray(pcmode, bool)
         offs_pad = np.full(len(pattab) + 1, offs[-1], np.int64)
         offs_pad[:D + 1] = offs
-        pattab_d = jnp.asarray(pattab)
-        offs_d = jnp.asarray(offs_pad.astype(np.int32))
+        pattab_d = self._put(pattab)
+        offs_d = self._put(offs_pad.astype(np.int32))
 
         def _disp(s_, pat0_, n_call_):
             return _two_batch_exp(
@@ -304,7 +360,8 @@ class ReplicatedEngine:
                 offs_d, jnp.int32(s_), jnp.int32(pat0_), jnp.int32(D),
                 ix.offs0, cfg.max_rule_span, cfg.min_gap_size, n_call_)
 
-        pending = _expanded_dispatch(_disp, N, offs, SCAN_CHUNK)
+        pending = _expanded_dispatch(_disp, N, offs, SCAN_CHUNK,
+                                     parallel=self._parallel)
 
         def _post():
             import jax
@@ -358,10 +415,10 @@ class ReplicatedEngine:
         from cgx_tpu.search.precompute import _gc_batch
         ix, cfg = self.index, self.cfg
         return chunked_batch(
-            lambda g: (_gc_batch(ix.rlp, ix.lr_tar, jnp.asarray(g), ix.offs0,
+            lambda g: (_gc_batch(ix.rlp, ix.lr_tar, self._put(g), ix.offs0,
                                  cfg.max_rule_span, cfg.min_gap_size, fwd),),
             [np.asarray(gostart, np.int32)], fetch=fetch,
-            parallel_compile=True)
+            parallel_compile=self._parallel)
 
     def contig(self, sa_pos, lm, fetch=True):
         from cgx_tpu.extract.device import _contig_batch
@@ -369,10 +426,10 @@ class ReplicatedEngine:
         return chunked_batch(
             lambda sp, lp: _contig_batch(
                 ix.refstr_padded, ix.sa, ix.rlp, ix.lr_tar,
-                jnp.asarray(sp), jnp.asarray(lp), ix.offs0,
+                self._put(sp), self._put(lp), ix.offs0,
                 cfg.max_rule_span, cfg.max_rule_symbols),
             [np.asarray(sa_pos, np.int32), np.asarray(lm, np.int32)],
-            fetch=fetch, parallel_compile=True)
+            fetch=fetch, parallel_compile=self._parallel)
 
     def onegap(self, css, fes, sls, els, fetch=True):
         from cgx_tpu.extract.device import _onegap_batch
@@ -380,11 +437,11 @@ class ReplicatedEngine:
         return chunked_batch(
             lambda *a: _onegap_batch(
                 ix.refstr_padded, ix.rlp, ix.lr_tar,
-                *(jnp.asarray(x) for x in a), ix.offs0,
+                *(self._put(x) for x in a), ix.offs0,
                 cfg.max_rule_span, cfg.max_rule_symbols),
             [np.asarray(css, np.int32), np.asarray(fes, np.int32),
              np.asarray(sls, np.int32), np.asarray(els, np.int32)],
-            fetch=fetch, parallel_compile=True)
+            fetch=fetch, parallel_compile=self._parallel)
 
     def twogap(self, css, fes, ses, sls, els, cls, fetch=True):
         from cgx_tpu.extract.device import _twogap_batch
@@ -392,8 +449,8 @@ class ReplicatedEngine:
         return chunked_batch(
             lambda *a: _twogap_batch(
                 ix.refstr_padded, ix.rlp, ix.lr_tar,
-                *(jnp.asarray(x) for x in a), ix.offs0, cfg.max_rule_span),
+                *(self._put(x) for x in a), ix.offs0, cfg.max_rule_span),
             [np.asarray(css, np.int32), np.asarray(fes, np.int32),
              np.asarray(ses, np.int32), np.asarray(sls, np.int32),
              np.asarray(els, np.int32), np.asarray(cls, np.int32)],
-            fetch=fetch, parallel_compile=True)
+            fetch=fetch, parallel_compile=self._parallel)

@@ -45,9 +45,13 @@ class GrammarIndex:
     tgt_str_host: np.ndarray = None
     lex_val1_host: np.ndarray = None
     lex_val2_host: np.ndarray = None
+    # the local device this replica is committed to (None = default device);
+    # set by parallel.localdp when it replicates the index per device
+    device: object = None
+
     def device_query_tokens(self, queries: QuerySet) -> jnp.ndarray:
         # cached on the QuerySet instance (lifetime-tied, no id() aliasing)
-        return queries.device_tokens()
+        return queries.device_tokens(self.device)
 
     @property
     def offs0(self):

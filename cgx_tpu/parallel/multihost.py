@@ -76,17 +76,25 @@ def _phase_max_allgather(timing):
     """Per-phase MAX across processes (the critical-path view of recordTime's
     buckets, Start.cu:392-469, for a multi-host run).  Phase dicts differ in
     keys per process (e.g. builder vs artifact-loader), so they exchange as
-    fixed-size JSON byte buffers."""
+    length-prefixed JSON byte buffers; the buffer size is agreed across
+    processes with a max-allgather first, so no payload is ever truncated."""
     import json
     from jax.experimental import multihost_utils
     payload = json.dumps(timing.as_dict()).encode()
-    buf = np.zeros(8192, np.uint8)
-    buf[:len(payload)] = np.frombuffer(payload[:len(buf)], np.uint8)
+    # agree on a common buffer size (allgather needs equal shapes everywhere)
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(payload)], np.int64)))
+    width = int(sizes.max())
+    buf = np.zeros(8 + width, np.uint8)
+    buf[:8] = np.frombuffer(np.asarray([len(payload)], np.int64).tobytes(),
+                            np.uint8)
+    buf[8:8 + len(payload)] = np.frombuffer(payload, np.uint8)
     rows = np.asarray(multihost_utils.process_allgather(buf)).reshape(
         -1, buf.size)
     agg: dict = {}
     for row in rows:
-        text = bytes(row[row != 0]).decode() or "{}"
+        n = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
+        text = bytes(row[8:8 + n]).decode() or "{}"
         for k, v in json.loads(text).items():
             agg[k] = max(agg.get(k, 0.0), float(v))
     return agg

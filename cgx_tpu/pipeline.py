@@ -112,16 +112,22 @@ def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
 def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
                  cfg: ExtractorConfig = DEFAULT_CONFIG,
                  timing: PhaseTimer = None, index_dir: str = None,
-                 sa_shards: int = 0) -> PipelineResult:
+                 sa_shards: int = 0, dp_devices: int = 0) -> PipelineResult:
     """``sa_shards > 0`` runs the query path in sharded-index mode: every
     O(corpus) device array (SA, refstr, RLP, target spans) lives split across
     that many devices (parallel.sharded) for corpora beyond single-chip HBM;
     there is no replicated O(corpus) device array and no host-SA read anywhere
-    in the query path (SA values come from distributed gathers)."""
+    in the query path (SA values come from distributed gathers).
+
+    ``dp_devices > 1`` runs the query path data-parallel over that many LOCAL
+    devices from this one process: the index is replicated per device and
+    every device stage's work-item axis fans out (parallel.localdp);
+    byte-identical to the single-device run."""
     art, index, t, shc = build_artifact(f_lines, e_lines, a_lines, lex_tokens,
                                         cfg, timing, index_dir,
                                         sa_shards=sa_shards)
-    ctx = _make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc)
+    ctx = _make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc,
+                        dp_devices=dp_devices)
     with t.phase("qrysload"):
         queries = cp.load_queries(q_lines, art.source.vocab)
     front = _front_stages(ctx, queries, cfg, t)
@@ -130,7 +136,8 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
                           counters=counters, timing=t)
 
 
-def _make_context(art, index, t, cfg, sa_shards, sharded_ctx=None):
+def _make_context(art, index, t, cfg, sa_shards, sharded_ctx=None,
+                  dp_devices: int = 0):
     """Engine + index handles shared by every query batch."""
     ctx = dict(art=art, index=index, source=art.source, target=art.target,
                sa=art.sa, pc=art.precomp)
@@ -148,6 +155,14 @@ def _make_context(art, index, t, cfg, sa_shards, sharded_ctx=None):
             ctx["sidx"] = sidx
             ctx["lex_index"] = ic.build_host_lex_index(art.target, art.lex)
             ctx["sa_values"] = ctx["engine"].sa_values
+    elif dp_devices and dp_devices > 1:
+        from cgx_tpu.parallel.localdp import LocalDPEngine
+        with t.phase("qrysin"):
+            ctx["engine"] = LocalDPEngine(index, np.asarray(art.sa.sa), cfg,
+                                          n_devices=dp_devices)
+        ctx["sidx"] = None
+        ctx["lex_index"] = index
+        ctx["sa_values"] = None
     else:
         from cgx_tpu.engine import ReplicatedEngine
         ctx["engine"] = ReplicatedEngine(index, np.asarray(art.sa.sa), cfg)
@@ -166,6 +181,12 @@ def _front_stages(ctx, queries, cfg, t):
         from cgx_tpu.parallel import sharded as shx
         with t.phase("kernel"):
             p1, p2 = shx.sharded_passes(ctx["sidx"], queries)
+    elif hasattr(engine, "pass1"):
+        # LocalDPEngine: the search passes fan over the local devices too
+        with t.phase("kernel"):
+            p1 = engine.pass1(queries)
+        with t.phase("kernel2"):
+            p2 = engine.pass2(queries, p1)
     else:
         with t.phase("kernel"):
             p1 = passes.pass1_tpu(index, queries)
@@ -317,7 +338,7 @@ def _back_stages(ctx, queries, fr, cfg, t):
 def run_pipeline_overlap(f_lines, e_lines, a_lines, lex_tokens, q_lines,
                          cfg: ExtractorConfig = DEFAULT_CONFIG,
                          timing: PhaseTimer = None, index_dir: str = None,
-                         sa_shards: int = 0,
+                         sa_shards: int = 0, dp_devices: int = 0,
                          query_batches: int = 2) -> PipelineResult:
     """Pipeline-parallel analog (SURVEY.md section 2.3 PP row): queries split
     into contiguous batches; batch i's host-only back half (lexicon/MaxLex/
@@ -331,7 +352,8 @@ def run_pipeline_overlap(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     art, index, t, shc = build_artifact(f_lines, e_lines, a_lines, lex_tokens,
                                         cfg, timing, index_dir,
                                         sa_shards=sa_shards)
-    ctx = _make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc)
+    ctx = _make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc,
+                        dp_devices=dp_devices)
     with t.phase("qrysload"):
         all_q = list(q_lines)
     B = max(1, min(query_batches, len(all_q)))
@@ -352,10 +374,17 @@ def run_pipeline_overlap(f_lines, e_lines, a_lines, lex_tokens, q_lines,
         outs = [f.result() for f in futs]
     per_query_lines = []
     counters: dict = {}
+    # Counters sum across batches.  total_lines / *_rules / *_sa are true
+    # totals;
+    # the pattern-scoped statistics (blocks, distinct_*) double-count patterns
+    # shared between batches — fine for throughput math, not for corpus
+    # statistics.  ``per_batch`` keeps the exact per-batch dicts.
     for lines, cnt in outs:
         per_query_lines.extend(lines)
         for k, v in cnt.items():
             counters[k] = counters.get(k, 0) + v
+    counters["query_batches"] = len(outs)
+    counters["per_batch"] = [cnt for _, cnt in outs]
     queries = cp.load_queries(all_q, art.source.vocab)
     return PipelineResult(queries=queries, per_query_lines=per_query_lines,
                           counters=counters, timing=t)
@@ -364,7 +393,7 @@ def run_pipeline_overlap(f_lines, e_lines, a_lines, lex_tokens, q_lines,
 def run_pipeline_files(reffile, qryfile, tarfile, alignfile, lexfile, dest_dir,
                        cfg: ExtractorConfig = DEFAULT_CONFIG,
                        index_dir: str = None, sa_shards: int = 0,
-                       query_batches: int = 0):
+                       query_batches: int = 0, dp_devices: int = 0):
     with open(reffile, encoding="utf-8") as fh:
         f_text = fh.read()
     with open(tarfile, encoding="utf-8") as fh:
@@ -373,13 +402,13 @@ def run_pipeline_files(reffile, qryfile, tarfile, alignfile, lexfile, dest_dir,
         res = run_pipeline_overlap(
             f_text, e_text, cp.read_lines(alignfile),
             cp.read_tokens(lexfile), cp.read_lines(qryfile), cfg,
-            index_dir=index_dir, sa_shards=sa_shards,
+            index_dir=index_dir, sa_shards=sa_shards, dp_devices=dp_devices,
             query_batches=query_batches)
     else:
         res = run_pipeline(
             f_text, e_text, cp.read_lines(alignfile),
             cp.read_tokens(lexfile), cp.read_lines(qryfile), cfg,
-            index_dir=index_dir, sa_shards=sa_shards)
+            index_dir=index_dir, sa_shards=sa_shards, dp_devices=dp_devices)
     gw.write_grammars(dest_dir, res.queries.qryscount, cfg.is_sample,
                       res.per_query_lines)
     import sys

@@ -34,7 +34,7 @@ from cgx_tpu.config import DEFAULT_CONFIG
 
 
 def serve_loop(reffile, tarfile, alignfile, lexfile, cfg=DEFAULT_CONFIG,
-               index_dir=None, sa_shards: int = 0,
+               index_dir=None, sa_shards: int = 0, dp_devices: int = 0,
                inp=None, out=None, prewarm=None):
     """Run the serve protocol over ``inp``/``out`` streams (stdin/stdout by
     default).  Returns the number of requests served.
@@ -58,11 +58,20 @@ def serve_loop(reffile, tarfile, alignfile, lexfile, cfg=DEFAULT_CONFIG,
     art, index, t, shc = tpl.build_artifact(
         f_text, e_text, cp.read_lines(alignfile), cp.read_tokens(lexfile),
         cfg, index_dir=index_dir, sa_shards=sa_shards)
-    ctx = tpl._make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc)
+    ctx = tpl._make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc,
+                            dp_devices=dp_devices)
     if prewarm is not None:
-        wq = cp.load_queries(cp.read_lines(prewarm), art.source.vocab)
-        wt = PhaseTimer()
-        tpl._back_stages(ctx, wq, tpl._front_stages(ctx, wq, cfg, wt), cfg, wt)
+        # a bad prewarm file must not kill the server before 'ready':
+        # orchestrators block on that line, and per-request errors are
+        # already reported inline — treat prewarm failures the same way
+        try:
+            wq = cp.load_queries(cp.read_lines(prewarm), art.source.vocab)
+            wt = PhaseTimer()
+            tpl._back_stages(ctx, wq, tpl._front_stages(ctx, wq, cfg, wt),
+                             cfg, wt)
+        except Exception as exc:
+            print(f"warn prewarm failed {type(exc).__name__}: {exc}",
+                  file=out, flush=True)
     print(f"ready {time.perf_counter() - t0:.3f}", file=out, flush=True)
 
     served = 0
@@ -100,16 +109,20 @@ def main(argv=None) -> int:
     p.add_argument("lexfile")
     p.add_argument("--index-dir", default=None)
     p.add_argument("--sa-shards", type=int, default=0)
+    p.add_argument("--dp-devices", type=int, default=0)
     p.add_argument("--no-sample", action="store_true")
     p.add_argument("--prewarm", default=None, metavar="QRYFILE",
                    help="run this query batch (output discarded) before "
-                        "printing ready, absorbing first-touch program loads")
+                        "printing ready, absorbing first-touch program "
+                        "loads; should be representative of production "
+                        "batch sizes so the same pow2 dispatch-chunk "
+                        "programs get compiled")
     args = p.parse_args(argv)
     import dataclasses
     cfg = dataclasses.replace(DEFAULT_CONFIG, is_sample=not args.no_sample)
     serve_loop(args.reffile, args.reftargetfile, args.alignfile, args.lexfile,
                cfg, index_dir=args.index_dir, sa_shards=args.sa_shards,
-               prewarm=args.prewarm)
+               dp_devices=args.dp_devices, prewarm=args.prewarm)
     return 0
 
 

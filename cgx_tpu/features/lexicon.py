@@ -529,7 +529,41 @@ def _dedup(cid, key_rows):
     return first[order], rank[inv], counts[order]
 
 
-def _dedup_spans(cid, tgt_str, ts, end, g1=None, g11=None, g2=None, g21=None):
+def _dedup_spans_native(lib, cid, tgt_str, ts, end, g1, g11, g2, g21, mk):
+    """One-pass native hash dedup (cgx_dedup_rules): the uthash grouping of
+    createLexicon*Fast (ExtractPair.c:548-556) with the key rendering fused
+    in — groups discovered in first-appearance order, no sorts and no
+    [n, KEYW] intermediate.  Same (first_idx, counts, keys_d) contract as the
+    numpy path below; equality is enforced by tests/test_lexicon_dedup.py."""
+    import ctypes
+    n = len(cid)
+    i64 = np.int64
+    c = np.ascontiguousarray(cid, i64)
+    t = np.ascontiguousarray(ts, i64)
+    e = np.ascontiguousarray(end, i64)
+    tgt = np.ascontiguousarray(tgt_str, np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+
+    def p64(a):
+        return a.ctypes.data_as(i64p) if a is not None else None
+
+    gaps = [None if g is None else np.ascontiguousarray(g, i64)
+            for g in (g1, g11, g2, g21)]
+    out_first = np.empty(n, i64)
+    out_counts = np.empty(n, i64)
+    out_keys = np.empty((n, KEYW), np.int32)
+    nd = lib.cgx_dedup_rules(
+        p64(c), p64(t), p64(e), *(p64(g) for g in gaps), int(n),
+        tgt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), int(len(tgt)),
+        p64(out_first), p64(out_counts),
+        out_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if mk:
+        mk.mark(f"d.native[{n}->{nd}]")
+    return out_first[:nd], out_counts[:nd], out_keys[:nd]
+
+
+def _dedup_spans(cid, tgt_str, ts, end, g1=None, g11=None, g2=None, g21=None,
+                 mk=None):
     """Two-stage (cid, rendered target key) dedup.
 
     The rendered key row is a pure function of (cid, ts, end, gap offsets), so
@@ -543,6 +577,14 @@ def _dedup_spans(cid, tgt_str, ts, end, g1=None, g11=None, g2=None, g21=None):
     n = len(cid)
     ts = ts.astype(np.int64, copy=False)
     end = end.astype(np.int64, copy=False)
+    if n:
+        import os
+        if not os.environ.get("CGX_NUMPY_DEDUP"):
+            from cgx_tpu.preproc.native_build import load_native
+            lib = load_native()
+            if lib is not None:
+                return _dedup_spans_native(lib, cid, tgt_str, ts, end,
+                                           g1, g11, g2, g21, mk)
     minus1 = np.full(n, -1, np.int64)
     gs = [(g.astype(np.int64, copy=False) if g is not None else minus1)
           for g in (g1, g11, g2, g21)]
@@ -583,11 +625,17 @@ def _dedup_spans(cid, tgt_str, ts, end, g1=None, g11=None, g2=None, g21=None):
     rord = np.argsort(first, kind="stable")          # appearance order
     rep_idx = first[rord]
     c1 = c1[rord]
+    if mk:
+        mk.mark(f"d.stage1[{n}->{len(rep_idx)}]")
     keys_rep = _target_key_rows(
         tgt_str, ts[rep_idx], ts[rep_idx] + end[rep_idx],
         *(None if g is None else ts[rep_idx] + g[rep_idx]
           for g in (g1, g11, g2, g21)))
+    if mk:
+        mk.mark("d.render_keys")
     first2, inv2, _ = _dedup(cid[rep_idx], keys_rep)
+    if mk:
+        mk.mark(f"d.stage2[{len(first2)}]")
     counts = np.bincount(inv2, weights=c1.astype(np.float64)).astype(np.int64)
     return rep_idx[first2], counts, keys_rep[first2]
 
@@ -738,7 +786,7 @@ def fast_create_lexicon_onegap(rules1: GapRules, source: SourceCorpus,
     ts = rules1.ref_str_start.astype(np.int64, copy=False)
     first_idx, counts, keys_d = _dedup_spans(
         cid, np.asarray(target.str_), ts, rules1.end,
-        rules1.gap1, rules1.gap1_1)
+        rules1.gap1, rules1.gap1_1, mk=mk)
     mk.mark("dedup")
 
     seg2_d = seg2[first_idx]
@@ -823,7 +871,7 @@ def fast_create_lexicon_twogap(rules2: GapRules, source: SourceCorpus,
     ts = rules2.ref_str_start.astype(np.int64, copy=False)
     first_idx, counts, keys_d = _dedup_spans(
         cid, np.asarray(target.str_), ts, rules2.end,
-        rules2.gap1, rules2.gap1_1, rules2.gap2, rules2.gap2_1)
+        rules2.gap1, rules2.gap1_1, rules2.gap2, rules2.gap2_1, mk=mk)
     mk.mark("dedup")
 
     # distinct-rule segments + fsample

@@ -259,6 +259,130 @@ long cgx_tokenize(const char* text, long n, int32_t* out_ids,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Rule-instance dedup (replaces the numpy two-stage sort dedup of
+// features/lexicon._dedup_spans): the uthash-style hash grouping of
+// createLexiconFast / createLexiconGappyFast / createLexiconTwoGapFast
+// (ExtractPair.c:548-556, 723-737) fused with the target-key rendering of
+// _target_key_rows — ONE pass over the instance rows, no sorts, no
+// materialized [n, 16] key matrix.  Groups are discovered in first-appearance
+// order (hash-map insert order), exactly the contract the numpy path restores
+// with its post-sort reorder; byte-identity is test-enforced.
+// ---------------------------------------------------------------------------
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int KEYW = 16;  // rendered target symbols per rule key
+
+// Render one rule instance's target key row (the semantics of
+// features/lexicon._target_key_rows): tokens of [ts, ts+end] with each gap
+// span collapsed to a single marker (-1 for gap 1, -3 for gap 2), -2 padding.
+inline void render_key(int64_t ts, int64_t end, const int64_t* gs,
+                       const int64_t* ge, const int32_t* marker, int ngaps,
+                       const int32_t* tgt, int64_t tgt_len, int32_t* key) {
+  for (int k = 0; k < KEYW; ++k) key[k] = -2;
+  const int64_t te = ts + end;
+  for (int64_t k = 0; k < KEYW; ++k) {
+    int64_t P = ts + k;
+    bool E = P <= te;
+    int64_t Pc = P < 0 ? 0 : (P >= tgt_len ? tgt_len - 1 : P);
+    int32_t T = tgt[Pc];
+    int64_t O = k;
+    for (int g = 0; g < ngaps; ++g) {
+      bool ing = P >= gs[g] && P <= ge[g];
+      if (ing) T = marker[g];
+      E = E && (!ing || P == gs[g]);
+      if (P > ge[g]) O -= ge[g] - gs[g];
+    }
+    if (E) {
+      int64_t slot = O < KEYW - 1 ? O : KEYW - 1;
+      // mirror numpy's wrap on the (KEYW+1)-wide staging buffer for
+      // degenerate negative offsets (slot KEYW is the discard column)
+      if (slot < 0) slot += KEYW + 1;
+      if (slot >= 0 && slot < KEYW) key[slot] = T;
+    }
+  }
+}
+
+inline uint64_t mix64(uint64_t x) {
+  x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
+  x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ULL;
+  x ^= x >> 33; return x;
+}
+
+inline uint64_t hash_row(int64_t cid, const int32_t* key) {
+  uint64_t h = mix64((uint64_t)cid);
+  for (int k = 0; k < KEYW; k += 2) {
+    uint64_t w = ((uint64_t)(uint32_t)key[k] << 32) | (uint32_t)key[k + 1];
+    h = mix64(h ^ w);
+  }
+  return h;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Groups n rule instances by (cid, rendered key).  g1/g11 (and g2/g21) may be
+// NULL for families without that gap.  out_first/out_counts have capacity n;
+// out_keys capacity n*16.  Returns the number of distinct rules.
+int64_t cgx_dedup_rules(const int64_t* cid, const int64_t* ts,
+                        const int64_t* end, const int64_t* g1,
+                        const int64_t* g11, const int64_t* g2,
+                        const int64_t* g21, int64_t n, const int32_t* tgt,
+                        int64_t tgt_len, int64_t* out_first,
+                        int64_t* out_counts, int32_t* out_keys) {
+  if (n <= 0) return 0;
+  uint64_t cap = 16;
+  while (cap < (uint64_t)(2 * n)) cap <<= 1;
+  std::vector<int64_t> table(cap, -1);  // slot -> group id
+  std::vector<int64_t> gcid;            // group id -> cid
+  gcid.reserve((size_t)(n / 4 + 16));
+  const uint64_t mask = cap - 1;
+  int64_t ngroups = 0;
+  int32_t key[KEYW];
+  int64_t gs[2], ge[2];
+  int32_t marker[2];
+  for (int64_t i = 0; i < n; ++i) {
+    int ngaps = 0;
+    if (g1) {
+      gs[ngaps] = ts[i] + g1[i]; ge[ngaps] = ts[i] + g11[i];
+      marker[ngaps++] = -1;
+    }
+    if (g2) {
+      gs[ngaps] = ts[i] + g2[i]; ge[ngaps] = ts[i] + g21[i];
+      marker[ngaps++] = -3;
+    }
+    render_key(ts[i], end[i], gs, ge, marker, ngaps, tgt, tgt_len, key);
+    uint64_t h = hash_row(cid[i], key) & mask;
+    for (;;) {
+      int64_t gid = table[h];
+      if (gid < 0) {
+        table[h] = ngroups;
+        out_first[ngroups] = i;
+        out_counts[ngroups] = 1;
+        std::memcpy(out_keys + ngroups * KEYW, key, sizeof(key));
+        gcid.push_back(cid[i]);
+        ++ngroups;
+        break;
+      }
+      if (gcid[(size_t)gid] == cid[i] &&
+          std::memcmp(out_keys + gid * KEYW, key, sizeof(key)) == 0) {
+        ++out_counts[gid];
+        break;
+      }
+      h = (h + 1) & mask;
+    }
+  }
+  return ngroups;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Rule-line feature formatting (replaces the host printf loop of
 // PrintResults.c:355-364 at rule-count scale): the 7-feature suffix of every
 // cdec rule line, snprintf "%f" (6-decimal fixed, correctly rounded — glibc

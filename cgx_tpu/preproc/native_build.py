@@ -66,6 +66,10 @@ def load_native():
             ctypes.c_char_p, i64p, f32p, f32p, f32p, f32p, f32p, i64p, i64p,
             ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64, i64p]
         lib.cgx_format_rule_lines.restype = ctypes.c_int64
+        lib.cgx_dedup_rules.argtypes = [
+            i64p, i64p, i64p, i64p, i64p, i64p, i64p, ctypes.c_int64,
+            i32p, ctypes.c_int64, i64p, i64p, i32p]
+        lib.cgx_dedup_rules.restype = ctypes.c_int64
         _lib = lib
         return _lib
 

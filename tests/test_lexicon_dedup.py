@@ -140,3 +140,38 @@ def test_native_format_lines_matches_python():
     t.f = rng.integers(1, 4, size=n).astype(np.int64)
     t.paircount = rng.integers(1, 3, size=n).astype(np.int64)
     assert gw.format_lines(t) == gw._format_lines_py(t)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("gaps", [0, 1, 2])
+def test_native_dedup_rules_matches_numpy(gaps, seed):
+    """cgx_dedup_rules (one-pass C hash grouping with fused key rendering)
+    must return exactly the numpy two-stage path's (first_idx, counts,
+    keys_d) on randomized inputs, including degenerate gap spans."""
+    from cgx_tpu.preproc.native_build import load_native
+    if load_native() is None:
+        pytest.skip("native library unavailable")
+    import os
+    rng = np.random.default_rng(seed)
+    n = 5000
+    tgt = rng.integers(2, 30, size=800).astype(np.int32)
+    cid = rng.integers(0, 40, size=n).astype(np.int64)
+    ts = rng.integers(0, 780, size=n).astype(np.int64)
+    end = rng.integers(0, 15, size=n).astype(np.int64)
+    g1 = g11 = g2 = g21 = None
+    if gaps >= 1:
+        g1 = rng.integers(-1, 16, size=n).astype(np.int64)
+        g11 = g1 + rng.integers(0, 5, size=n)
+    if gaps >= 2:
+        g2 = g11 + rng.integers(1, 5, size=n)
+        g21 = g2 + rng.integers(0, 4, size=n)
+    args = (cid, tgt, ts, end, g1, g11, g2, g21)
+    os.environ["CGX_NUMPY_DEDUP"] = "1"
+    try:
+        f0, c0, k0 = lx._dedup_spans(*args)
+    finally:
+        del os.environ["CGX_NUMPY_DEDUP"]
+    f1, c1, k1 = lx._dedup_spans(*args)
+    np.testing.assert_array_equal(f0, f1)
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(k0, k1)

@@ -306,15 +306,19 @@ def _back_stages(ctx, queries, fr, cfg, t):
             use_device=ctx.get("maxlex_use_device"))
 
     with t.phase("printout"):
+        mk = StageMarks("printout")
         G = len(blocks.start)
         D1 = len(search1.qrystart)
         D2 = len(search2.blockid)
         ud_contig = lx.updown_index(rules_contig, G)
         ud_one = lx.updown_index(rules_one, 2 * G + D1)
         ud_two = lx.updown_index(rules_two, G + D2 + 2 * D1)
+        mk.mark("updown")
         fmt_contig = gw.format_lines(rules_contig)
         fmt_one = gw.format_lines(rules_one)
         fmt_two = gw.format_lines(rules_two)
+        mk.mark(f"format[{len(rules_contig)}+{len(rules_one)}"
+                f"+{len(rules_two)}]")
         per_query_lines = [
             gw.grammar_lines_for_query(
                 q, blocks.qry_global, search1.query_with_id,
@@ -322,6 +326,8 @@ def _back_stages(ctx, queries, fr, cfg, t):
                 fmt_contig, fmt_one, fmt_two, G, D1, D2)
             for q in range(queries.qryscount)
         ]
+        mk.mark("perquery")
+        mk.done()
     counters = dict(
         blocks=G, distinct_onegap=D1, distinct_twogap=D2,
         pass1_tokens=queries.totaltokens, pass2_items=len(fr["p2"].up),

@@ -392,6 +392,65 @@ int64_t cgx_dedup_rules(const int64_t* cid, const int64_t* ts,
 
 #include <cstdio>
 
+namespace {
+
+// Memoized "%f" formatting keyed on the float's bit pattern: the feature
+// columns repeat heavily (fsample/paircount are small clamped ints; MaxLex
+// scores repeat per word pair), so most of the 5 conversions per line hit
+// the cache instead of glibc's snprintf (~200ns per "%f").  Entries longer
+// than 16 bytes (|value| >= 1e9, never a real feature) bypass the cache;
+// output bytes are identical either way.
+struct F6Cache {
+  static constexpr uint64_t CAP = 1u << 16;
+  static constexpr int W = 16;
+  std::vector<uint32_t> bits;
+  std::vector<uint8_t> len;   // 0 = empty slot
+  std::vector<char> txt;
+  F6Cache() : bits(CAP), len(CAP), txt(CAP * W) {}
+  inline int format(float v, char* out) {
+    uint32_t b;
+    std::memcpy(&b, &v, 4);
+    uint64_t h = mix64(b) & (CAP - 1);
+    for (int probe = 0; probe < 8; ++probe) {
+      if (len[h] == 0) {
+        char tmp[352];
+        int m = snprintf(tmp, sizeof tmp, "%f", (double)v);
+        if (m > 0 && m <= W) {
+          bits[h] = b;
+          len[h] = (uint8_t)m;
+          std::memcpy(&txt[h * W], tmp, (size_t)m);
+        }
+        std::memcpy(out, tmp, (size_t)m);
+        return m;
+      }
+      if (bits[h] == b) {
+        std::memcpy(out, &txt[h * W], len[h]);
+        return len[h];
+      }
+      h = (h + 1) & (CAP - 1);
+    }
+    return snprintf(out, 352, "%f", (double)v);
+  }
+};
+
+// Assembles one 7-feature suffix into `line` (capacity >= 512); returns its
+// length.  Byte-identical to the snprintf format string it replaces.
+inline int format_suffix(F6Cache& c, float aa, float fss, float bb, float fge,
+                         float egf, int64_t f, int64_t pc, char* line) {
+  int w = 0;
+  auto lit = [&](const char* s, int m) { std::memcpy(line + w, s, m); w += m; };
+  lit("EgivenFCoherent=", 16); w += c.format(aa, line + w);
+  lit(" SampleCountF=", 14);   w += c.format(fss, line + w);
+  lit(" CountEF=", 9);         w += c.format(bb, line + w);
+  lit(" MaxLexFgivenE=", 15);  w += c.format(fge, line + w);
+  lit(" MaxLexEgivenF=", 15);  w += c.format(egf, line + w);
+  lit(" IsSingletonF=", 14);   line[w++] = f == 1 ? '1' : '0';
+  lit(" IsSingletonFE=", 15);  line[w++] = pc == 1 ? '1' : '0';
+  return w;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Formats n feature suffixes into `out` (capacity out_cap bytes);
@@ -402,17 +461,15 @@ int64_t cgx_format_features(const float* aa, const float* fss,
                             const float* egf, const int64_t* f,
                             const int64_t* pc, int64_t n, char* out,
                             int64_t out_cap, int64_t* offsets) {
+  F6Cache cache;
+  char line[512];
   int64_t w = 0;
   offsets[0] = 0;
   for (int64_t i = 0; i < n; ++i) {
-    if (out_cap - w < 256) return -1;
-    int m = snprintf(
-        out + w, (size_t)(out_cap - w),
-        "EgivenFCoherent=%f SampleCountF=%f CountEF=%f MaxLexFgivenE=%f "
-        "MaxLexEgivenF=%f IsSingletonF=%d IsSingletonFE=%d",
-        (double)aa[i], (double)fss[i], (double)bb[i], (double)fge[i],
-        (double)egf[i], (int)(f[i] == 1), (int)(pc[i] == 1));
-    if (m < 0 || m >= out_cap - w) return -1;
+    int m = format_suffix(cache, aa[i], fss[i], bb[i], fge[i], egf[i],
+                          f[i], pc[i], line);
+    if (m >= (int)sizeof(line) || out_cap - w < m) return -1;
+    std::memcpy(out + w, line, (size_t)m);
     w += m;
     offsets[i + 1] = w;
   }
@@ -429,22 +486,22 @@ int64_t cgx_format_rule_lines(const char* lex, const int64_t* lex_offs,
                               const float* egf, const int64_t* f,
                               const int64_t* pc, int64_t n, char* out,
                               int64_t out_cap, int64_t* offsets) {
+  F6Cache cache;
+  char line[512];
   int64_t w = 0;
   offsets[0] = 0;
   for (int64_t i = 0; i < n; ++i) {
     int64_t ll = lex_offs[i + 1] - lex_offs[i];
-    if (out_cap - w < ll + 300) return -1;
+    int m = format_suffix(cache, aa[i], fss[i], bb[i], fge[i], egf[i],
+                          f[i], pc[i], line);
+    if (m >= (int)sizeof(line) || out_cap - w < ll + m + 13) return -1;
     std::memcpy(out + w, "[X] ||| ", 8);
     w += 8;
     std::memcpy(out + w, lex + lex_offs[i], (size_t)ll);
     w += ll;
-    int m = snprintf(
-        out + w, (size_t)(out_cap - w),
-        " ||| EgivenFCoherent=%f SampleCountF=%f CountEF=%f "
-        "MaxLexFgivenE=%f MaxLexEgivenF=%f IsSingletonF=%d IsSingletonFE=%d",
-        (double)aa[i], (double)fss[i], (double)bb[i], (double)fge[i],
-        (double)egf[i], (int)(f[i] == 1), (int)(pc[i] == 1));
-    if (m < 0 || m >= out_cap - w) return -1;
+    std::memcpy(out + w, " ||| ", 5);
+    w += 5;
+    std::memcpy(out + w, line, (size_t)m);
     w += m;
     offsets[i + 1] = w;
   }

@@ -19,6 +19,12 @@ import time
 from cgx_tpu.config import DEFAULT_CONFIG
 
 
+def _shards_arg(v: str):
+    """--sa-shards value: an int shard count, or 'auto' (device-budget
+    sizing, utils.budget.resolve_shards)."""
+    return v if v == "auto" else int(v)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cgx_tpu", description=__doc__)
     p.add_argument("-l", dest="minmatchlen", type=int, default=1)
@@ -35,10 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable occurrence sampling (grammar.<i>.n outputs)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the run into DIR")
-    p.add_argument("--sa-shards", type=int, default=0, metavar="N",
+    p.add_argument("--sa-shards", type=_shards_arg, default=0, metavar="N",
                    help="sharded-index mode: split every O(corpus) device "
                         "array across N devices (corpora beyond one chip's "
-                        "HBM)")
+                        "HBM); 'auto' sizes the index against the device "
+                        "budget and picks the smallest count that fits "
+                        "(0 shards = replicated when it fits)")
     p.add_argument("--dp-devices", type=int, default=0, metavar="N",
                    help="local query data parallelism: replicate the index "
                         "on N local devices and fan every device stage's "
@@ -95,6 +103,10 @@ def main(argv=None) -> int:
               "(sharded index vs replicated-per-device index)",
               file=sys.stderr)
         return 1
+    if args.coordinator is not None and args.sa_shards == "auto":
+        print("--sa-shards auto is single-process only; multi-host composed "
+              "mode needs an explicit shard count", file=sys.stderr)
+        return 1
     cfg = dataclasses.replace(
         DEFAULT_CONFIG, minmatchlen=args.minmatchlen, fingerlen=args.fingerlen,
         is_sample=not args.no_sample)
@@ -110,7 +122,7 @@ def main(argv=None) -> int:
             f_text = fh.read()
         with open(args.reftargetfile, encoding="utf-8") as fh:
             e_text = fh.read()
-        _, _, t, _ = build_artifact(
+        _, _, t, _, _ = build_artifact(
             f_text, e_text, cp.read_lines(args.alignfile),
             cp.read_tokens(args.lexfile), cfg, index_dir=args.index_dir,
             sa_shards=args.sa_shards)
@@ -138,13 +150,19 @@ def main(argv=None) -> int:
                          args.alignfile, args.lexfile, args.dest_dir, cfg)
     else:
         from cgx_tpu.pipeline import run_pipeline_files
-        res = run_pipeline_files(args.reffile, args.qryfile,
-                                 args.reftargetfile, args.alignfile,
-                                 args.lexfile, args.dest_dir, cfg,
-                                 index_dir=args.index_dir,
-                                 sa_shards=args.sa_shards,
-                                 query_batches=args.query_batches,
-                                 dp_devices=args.dp_devices)
+        from cgx_tpu.utils.budget import BudgetError
+        try:
+            res = run_pipeline_files(args.reffile, args.qryfile,
+                                     args.reftargetfile, args.alignfile,
+                                     args.lexfile, args.dest_dir, cfg,
+                                     index_dir=args.index_dir,
+                                     sa_shards=args.sa_shards,
+                                     query_batches=args.query_batches,
+                                     dp_devices=args.dp_devices)
+        except BudgetError as exc:
+            # the actionable one-liner, not a JAX allocation traceback
+            print(f"error: {exc}", file=sys.stderr)
+            return 1
     if args.profile:
         import jax
         jax.profiler.stop_trace()

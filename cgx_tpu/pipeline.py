@@ -62,17 +62,26 @@ def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
     device array — the precompute gap checks run owner-computes on the
     sharded engine (reference analog: the whole build fits the device budget,
     Start.cu:496).  Returns the already-built (sidx, engine) as
-    ``sharded_ctx`` so the query path reuses the device placement."""
+    ``sharded_ctx`` so the query path reuses the device placement.
+
+    ``sa_shards`` may also be the string "auto": the device-memory budget
+    decides (utils.budget) — replicated when the index fits one device, else
+    the smallest shard count whose slice fits.  With ``sa_shards == 0`` and
+    an index that cannot fit, a one-line BudgetError names the minimum shard
+    count instead of failing inside a JAX allocation."""
     import os
+    from cgx_tpu.utils.budget import resolve_shards
     t = timing or PhaseTimer()
     if index_dir and os.path.exists(os.path.join(index_dir, "meta.json")):
         with t.phase("indexload"):
             art, _built_cfg = index_io.load(index_dir)
+        sa_shards = resolve_shards(sa_shards, art.source.toklen,
+                                   art.target.toklen, cfg)
         with t.phase("qrysin"):
             index = (None if sa_shards else
                      ic.build_index(art.source, art.target, art.sa, art.align,
                                     art.lex, cfg))
-        return art, index, t, None
+        return art, index, t, None, sa_shards
     with t.phase("refsin"):
         source = (cp.load_source_corpus_text(f_lines) if isinstance(f_lines, str)
                   else cp.load_source_corpus(f_lines))
@@ -80,6 +89,7 @@ def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
                   else cp.load_target_corpus(e_lines))
         align = cp.load_alignment_fast(a_lines, source, target)
         lex = cp.load_lex_table(lex_tokens, source.vocab, target.vocab)
+    sa_shards = resolve_shards(sa_shards, source.toklen, target.toklen, cfg)
     with t.phase("suffixarray"):
         sa = sab.build_index(source.str_)
     sharded_ctx = None
@@ -106,7 +116,7 @@ def build_artifact(f_lines, e_lines, a_lines, lex_tokens,
         # exactly one persists the artifact
         with t.phase("indexsave"):
             index_io.save(index_dir, art, cfg)
-    return art, index, t, sharded_ctx
+    return art, index, t, sharded_ctx, sa_shards
 
 
 def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
@@ -123,9 +133,9 @@ def run_pipeline(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     devices from this one process: the index is replicated per device and
     every device stage's work-item axis fans out (parallel.localdp);
     byte-identical to the single-device run."""
-    art, index, t, shc = build_artifact(f_lines, e_lines, a_lines, lex_tokens,
-                                        cfg, timing, index_dir,
-                                        sa_shards=sa_shards)
+    art, index, t, shc, sa_shards = build_artifact(
+        f_lines, e_lines, a_lines, lex_tokens, cfg, timing, index_dir,
+        sa_shards=sa_shards)
     ctx = _make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc,
                         dp_devices=dp_devices)
     with t.phase("qrysload"):
@@ -355,9 +365,9 @@ def run_pipeline_overlap(f_lines, e_lines, a_lines, lex_tokens, q_lines,
     invariant the multi-host split relies on, enforced by tests)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    art, index, t, shc = build_artifact(f_lines, e_lines, a_lines, lex_tokens,
-                                        cfg, timing, index_dir,
-                                        sa_shards=sa_shards)
+    art, index, t, shc, sa_shards = build_artifact(
+        f_lines, e_lines, a_lines, lex_tokens, cfg, timing, index_dir,
+        sa_shards=sa_shards)
     ctx = _make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc,
                         dp_devices=dp_devices)
     with t.phase("qrysload"):

@@ -55,7 +55,7 @@ def serve_loop(reffile, tarfile, alignfile, lexfile, cfg=DEFAULT_CONFIG,
     with open(tarfile, encoding="utf-8") as fh:
         e_text = fh.read()
     t0 = time.perf_counter()
-    art, index, t, shc = tpl.build_artifact(
+    art, index, t, shc, sa_shards = tpl.build_artifact(
         f_text, e_text, cp.read_lines(alignfile), cp.read_tokens(lexfile),
         cfg, index_dir=index_dir, sa_shards=sa_shards)
     ctx = tpl._make_context(art, index, t, cfg, sa_shards, sharded_ctx=shc,

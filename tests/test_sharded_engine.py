@@ -82,8 +82,8 @@ def test_sharded_build_never_replicates(world, monkeypatch, tmp_path):
         raise AssertionError("replicated device index built in sharded mode")
     monkeypatch.setattr(ic, "build_index", boom)
     monkeypatch.setattr(tpl.ic, "build_index", boom)
-    art, index, t, shc = tpl.build_artifact(f, e, a, lex, cfg,
-                                            sa_shards=N_DEV)
+    art, index, t, shc, _ = tpl.build_artifact(f, e, a, lex, cfg,
+                                               sa_shards=N_DEV)
     assert index is None and shc is not None
     # the sharded-build precompute is bit-identical to the replicated build's
     pc = art.precomp

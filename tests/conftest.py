@@ -22,6 +22,7 @@ import pytest
 jax.config.update("jax_platforms", "cpu")
 
 FIXTURE_DIR = pathlib.Path(__file__).parent / "fixtures" / "toy"
+REAL_FIXTURE_DIR = pathlib.Path(__file__).parent / "fixtures" / "real"
 
 
 @pytest.fixture(scope="session")
@@ -32,3 +33,15 @@ def toy_fixture():
             check=True,
         )
     return FIXTURE_DIR
+
+
+@pytest.fixture(scope="session")
+def real_fixture():
+    """Natural French-English parallel text with IBM-Model-1 alignments
+    (tools/make_realfixture.py) — checked in; regenerable byte-stable."""
+    if not (REAL_FIXTURE_DIR / "corpus.f").exists():
+        subprocess.run(
+            [sys.executable, str(pathlib.Path(__file__).parent.parent / "tools" / "make_realfixture.py")],
+            check=True,
+        )
+    return REAL_FIXTURE_DIR

@@ -54,6 +54,45 @@ def test_pipeline_matches_oracle_on_adversarial_corpus():
     assert sum(len(x) for x in t.per_query_lines) > 0
 
 
+def test_pipeline_matches_oracle_on_real_text(real_fixture):
+    """Natural French-English parallel text with IBM-Model-1 grow-diag
+    alignments (tools/make_realfixture.py): real word-order divergence
+    (adjective postposition -> crossing links), NULL-aligned function words,
+    1:N/N:1 fan-out, genuine Zipf vocabulary — the reference's own
+    conformance story was a natural-language run (the hansards toy,
+    README.md:57-77); this is the rebuild's equivalent (VERDICT r3 #7)."""
+    d = real_fixture
+    args = (cp.read_lines(str(d / "corpus.f")),
+            cp.read_lines(str(d / "corpus.e")),
+            cp.read_lines(str(d / "corpus.a")),
+            cp.read_tokens(str(d / "lex.txt")),
+            cp.read_lines(str(d / "query.f")))
+    cfg = ExtractorConfig(precompute_count=20)
+    o = opl.run_oracle(*args, cfg)
+    t = tpl.run_pipeline(*args, cfg)
+    assert o.per_query_lines == t.per_query_lines
+    assert sum(len(x) for x in t.per_query_lines) > 1000
+
+
+def test_golden_real_hashes(real_fixture):
+    """Freeze the real-text grammars (drift in both engines together still
+    fails here)."""
+    import hashlib
+    import json
+    import pathlib
+    d = real_fixture
+    golden = json.loads(
+        (pathlib.Path(__file__).parent / "golden_real_hashes.json").read_text())
+    cfg = ExtractorConfig(precompute_count=golden["precompute_count"])
+    res = tpl.run_pipeline(
+        cp.read_lines(str(d / "corpus.f")), cp.read_lines(str(d / "corpus.e")),
+        cp.read_lines(str(d / "corpus.a")), cp.read_tokens(str(d / "lex.txt")),
+        cp.read_lines(str(d / "query.f")), cfg)
+    for q, lines in enumerate(res.per_query_lines):
+        h = hashlib.sha256(("\n".join(lines) + "\n").encode()).hexdigest()
+        assert h == golden["sha256"][str(q)], f"query {q} grammar drifted"
+
+
 def test_precompute_matches_oracle(toy_fixture):
     from cgx_tpu.preproc import suffix_array as sab
     from cgx_tpu.index import container as ic

@@ -47,6 +47,18 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+    # Split-brain guard: if JAX backends were initialized before the
+    # distributed state (e.g. a sitecustomize.py registering a PJRT plugin at
+    # interpreter start), every process silently becomes its own 1-process
+    # world — process 0's coordinator then waits forever while the others
+    # compute the whole job alone.  Fail loudly instead.
+    if num_processes is not None and jax.process_count() != num_processes:
+        raise RuntimeError(
+            f"jax.distributed.initialize connected, but the backend reports "
+            f"process_count={jax.process_count()} (expected {num_processes})."
+            f" JAX backends were likely initialized before the distributed "
+            f"state (plugin sitecustomize?); start workers with that import "
+            f"disabled (e.g. unset PALLAS_AXON_POOL_IPS).")
     return True
 
 

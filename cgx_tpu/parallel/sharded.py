@@ -65,10 +65,12 @@ MMOV = 16          # scan move width (search.lookup.MMOV)
 # tokens' SA intervals empty within a few depths (longestmatch is short), so
 # early dispatches stay shallow; survivors are batched 16 depths at a time so
 # a qry_max_length=1024 token costs ~66 round trips instead of 256.  Two
-# compiled programs total (depths in {4, 16}).
+# compiled programs total (depths in {4, 16}).  Depths 0-1 never dispatch at
+# all: they are answered from the host-side seed tables (see
+# ``_seed_intervals``), so the ladder starts at depth 2.
 DEPTH_CHUNK = 4
 DEPTH_CHUNK_DEEP = 16
-DEPTH_LADDER_SWITCH = 8   # switch to deep chunks once depth >= this
+DEPTH_LADDER_SWITCH = 6   # switch to deep chunks once depth >= this
 
 
 def make_mesh(n_devices: int = None, devices=None) -> Mesh:
@@ -96,6 +98,14 @@ class ShardedGrammarIndex:
     tgt_off: np.ndarray  # int64 [S] global index of lrt_l[s][0]
     rmeta: jax.Array     # int32 [S, 1, 2] (rank_start, rank_count), sharded
     smeta: jax.Array     # int32 [S, 1, 3] (src_off, own_lo, own_hi), sharded
+    # host-side seed tables answering refinement depths 0-1 without any device
+    # dispatch (VERDICT r3 #3 — the top of the SA tree is tiny and replicable):
+    # refstr[sa] is nondecreasing, so depth-1 intervals are bucket boundaries
+    # (exclusive bincount cumsum); packed (first << 32 | second) keys are
+    # globally sorted, so depth-2 intervals are one vectorized searchsorted.
+    seed_lo1: np.ndarray = None    # int64 [maxtok+2] bucket starts
+    seed_hi1: np.ndarray = None    # int64 [maxtok+2] bucket ends
+    seed_pk: np.ndarray = None     # int64 [reflen] packed depth-2 keys
     # per-shard device-local handles (populated lazily)
     _shards: dict = dataclasses.field(default_factory=dict)
 
@@ -216,6 +226,14 @@ def build_sharded_index(source, target, sa, align, cfg: ExtractorConfig,
     sa_np = np.asarray(sa.sa, dtype=np.int32)
     sa_l = sa_np[np.clip(rcols, 0, reflen - 1)]
 
+    # ---- host seed tables for refinement depths 0-1 (no device dispatch)
+    first = refstr_padded[sa_np].astype(np.int64)      # nondecreasing
+    second = refstr_padded[sa_np + 1].astype(np.int64)
+    seed_pk = (first << 32) | second                   # globally sorted
+    counts1 = np.bincount(first, minlength=int(first[-1]) + 2)
+    seed_hi1 = np.cumsum(counts1, dtype=np.int64)
+    seed_lo1 = seed_hi1 - counts1
+
     shard = NamedSharding(mesh, P("sa"))
     rmeta = np.stack([rstart, rcount], axis=1).astype(np.int32)[:, None, :]
     smeta = np.stack([src_off, own_lo, own_hi], axis=1).astype(
@@ -239,7 +257,8 @@ def build_sharded_index(source, target, sa, align, cfg: ExtractorConfig,
         lrt_l=dput(lrt_l),
         src_off=src_off, tgt_off=tgt_lo,
         rmeta=dput(rmeta),
-        smeta=dput(smeta))
+        smeta=dput(smeta),
+        seed_lo1=seed_lo1, seed_hi1=seed_hi1, seed_pk=seed_pk)
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +353,28 @@ def gather_sa(sidx: ShardedGrammarIndex, rows: np.ndarray) -> np.ndarray:
     return out[0].astype(np.int32)
 
 
+def _seed_intervals(sidx: ShardedGrammarIndex, v0, v1, sls):
+    """Depth-0/1 refinement intervals from the host seed tables — bit-equal to
+    what ``_refine_chunk`` would compute at depths 0 and 1 (including the
+    empty-interval representations for OOV / absent / past-query-end lanes),
+    with zero device dispatch."""
+    reflen = sidx.reflen
+    nv = len(sidx.seed_lo1) - 1
+    ok0 = (v0 >= 0) & (v0 < nv)
+    v0c = np.clip(v0, 0, nv - 1)
+    # depth 0: token bucket; v0 < 0 -> [0, 0); v0 >= nv -> [reflen, reflen)
+    lo1 = np.where(ok0, sidx.seed_lo1[v0c], np.where(v0 < 0, 0, reflen))
+    hi1 = np.where(ok0, sidx.seed_hi1[v0c], np.where(v0 < 0, 0, reflen))
+    # depth 1: packed-key searchsorted; collapses to [lo1, lo1) when the lane
+    # is past the query end (sl < 2), the bucket is empty, or v1 is OOV
+    key = (v0c.astype(np.int64) << 32) | np.clip(v1, 0, None).astype(np.int64)
+    ext = ok0 & (sls >= 2) & (hi1 > lo1) & (v1 >= 0)
+    lo2 = np.where(ext, np.searchsorted(sidx.seed_pk, key, side="left"), lo1)
+    hi2 = np.where(ext, np.searchsorted(sidx.seed_pk, key, side="right"), lo1)
+    return (lo1.astype(np.int32), hi1.astype(np.int32),
+            lo2.astype(np.int32), hi2.astype(np.int32))
+
+
 def sharded_passes(sidx: ShardedGrammarIndex, queries):
     """Pass 1 + pass 2 via interval refinement; bit-equal to
     passes.pass1_tpu / pass2_tpu (search-path internals firstfindhit* are
@@ -343,13 +384,20 @@ def sharded_passes(sidx: ShardedGrammarIndex, queries):
                     dtype=np.int32)
     toks = np.arange(n, dtype=np.int32)
     sls = ends - toks
-    qtok_dev = jnp.asarray(queries.padded_tokens())
+    qtok_host = np.asarray(queries.padded_tokens())
+    qtok_dev = jnp.asarray(qtok_host)
 
-    lo = np.zeros(n, np.int32)
-    hi = np.full(n, sidx.reflen, np.int32)
-    alive = np.ones(n, bool) if n else np.zeros(0, bool)
-    ups_all, downs_all = [], []
-    depth = 0
+    # depths 0-1 answered on host (seed tables), ladder starts at depth 2
+    if n:
+        lo1, hi1, lo2, hi2 = _seed_intervals(
+            sidx, qtok_host[toks], qtok_host[toks + 1], sls)
+    else:
+        lo1 = hi1 = lo2 = hi2 = np.zeros(0, np.int32)
+    ups_all = [lo1, lo2]
+    downs_all = [hi1 - 1, hi2 - 1]
+    lo, hi = lo2.copy(), hi2.copy()
+    alive = (hi > lo) & (sls > 2)   # sl==2 lanes are fully answered by the seed
+    depth = 2
     max_depth = int(sls.max()) if n else 0
     while alive.any() and depth < max_depth:
         dchunk = DEPTH_CHUNK if depth < DEPTH_LADDER_SWITCH \

@@ -35,13 +35,18 @@ from cgx_tpu.config import DEFAULT_CONFIG
 
 def serve_loop(reffile, tarfile, alignfile, lexfile, cfg=DEFAULT_CONFIG,
                index_dir=None, sa_shards: int = 0, dp_devices: int = 0,
-               inp=None, out=None, prewarm=None):
+               inp=None, out=None, prewarm="auto"):
     """Run the serve protocol over ``inp``/``out`` streams (stdin/stdout by
     default).  Returns the number of requests served.
 
-    ``prewarm`` names an optional query file run through the full engine
-    (output discarded) BEFORE ``ready`` is printed, so the first real
-    request does not pay the first-touch compiled-program loads."""
+    ``prewarm`` names a query file run through the full engine (output
+    discarded) BEFORE ``ready`` is printed, so the first real request does
+    not pay the first-touch compiled-program loads.  The default ``"auto"``
+    synthesizes a small batch from the corpus's own sentences (always
+    in-vocab), which warms the common dispatch programs; deployments with
+    large batches should pass a representative file so the bigger pow2
+    chunk shapes (utils.batching.chunk_plan) get compiled too.  ``None``
+    disables prewarming."""
     from cgx_tpu import pipeline as tpl
     from cgx_tpu.preproc import corpus as cp
     from cgx_tpu.grammar import writer as gw
@@ -65,7 +70,11 @@ def serve_loop(reffile, tarfile, alignfile, lexfile, cfg=DEFAULT_CONFIG,
         # orchestrators block on that line, and per-request errors are
         # already reported inline — treat prewarm failures the same way
         try:
-            wq = cp.load_queries(cp.read_lines(prewarm), art.source.vocab)
+            if prewarm == "auto":
+                q_lines = [ln for ln in f_text.split("\n") if ln.strip()][:16]
+            else:
+                q_lines = cp.read_lines(prewarm)
+            wq = cp.load_queries(q_lines, art.source.vocab)
             wt = PhaseTimer()
             tpl._back_stages(ctx, wq, tpl._front_stages(ctx, wq, cfg, wt),
                              cfg, wt)
@@ -111,18 +120,22 @@ def main(argv=None) -> int:
     p.add_argument("--sa-shards", type=int, default=0)
     p.add_argument("--dp-devices", type=int, default=0)
     p.add_argument("--no-sample", action="store_true")
-    p.add_argument("--prewarm", default=None, metavar="QRYFILE",
+    p.add_argument("--prewarm", default="auto", metavar="QRYFILE",
                    help="run this query batch (output discarded) before "
                         "printing ready, absorbing first-touch program "
                         "loads; should be representative of production "
                         "batch sizes so the same pow2 dispatch-chunk "
-                        "programs get compiled")
+                        "programs get compiled (default: a small batch "
+                        "synthesized from the corpus's own sentences)")
+    p.add_argument("--no-prewarm", action="store_true",
+                   help="disable the default prewarm batch")
     args = p.parse_args(argv)
     import dataclasses
     cfg = dataclasses.replace(DEFAULT_CONFIG, is_sample=not args.no_sample)
     serve_loop(args.reffile, args.reftargetfile, args.alignfile, args.lexfile,
                cfg, index_dir=args.index_dir, sa_shards=args.sa_shards,
-               dp_devices=args.dp_devices, prewarm=args.prewarm)
+               dp_devices=args.dp_devices,
+               prewarm=None if args.no_prewarm else args.prewarm)
     return 0
 
 

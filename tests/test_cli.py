@@ -66,12 +66,13 @@ def test_build_index_only_requires_index_dir(toy_fixture, tmp_path):
     assert rc == 1
 
 
-@pytest.mark.parametrize("use_prewarm", [False, True])
+@pytest.mark.parametrize("use_prewarm", [None, "file", "auto"])
 def test_serve_loop_byte_identical_across_requests(toy_fixture, tmp_path,
                                                    use_prewarm):
     """The long-lived serve loop answers several query batches from ONE
-    engine context, each byte-identical to a one-shot CLI run — with and
-    without the optional prewarm batch (the production default is none)."""
+    engine context, each byte-identical to a one-shot CLI run — with the
+    prewarm batch disabled, from a file, and synthesized from the corpus
+    (the production default)."""
     import io
     from cgx_tpu import serve
 
@@ -89,7 +90,8 @@ def test_serve_loop_byte_identical_across_requests(toy_fixture, tmp_path,
     served = serve.serve_loop(str(F / "corpus.f"), str(F / "corpus.e"),
                               str(F / "corpus.a"), str(F / "lex.txt"),
                               inp=req, out=out,
-                              prewarm=str(q_small) if use_prewarm else None)
+                              prewarm={"file": str(q_small), "auto": "auto",
+                                       None: None}[use_prewarm])
     assert served == 3
     replies = out.getvalue().splitlines()
     assert replies[0].startswith("ready ")

@@ -66,6 +66,11 @@ def test_two_processes_sharded_index_composed(toy_fixture, tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env.pop("JAX_NUM_PROCESSES", None)
+    # a sitecustomize.py keyed on this var registers a PJRT plugin at
+    # interpreter start, initializing JAX backends BEFORE
+    # jax.distributed.initialize can take effect — each child then becomes a
+    # silent 1-process world (multihost.initialize now also detects that)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     f = str(toy_fixture)
     args = [f + "/corpus.f", f + "/query.f", f + "/corpus.e",
             f + "/corpus.a", f + "/lex.txt"]
@@ -108,6 +113,7 @@ def test_two_real_processes_byte_identical(toy_fixture, tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env.pop("JAX_NUM_PROCESSES", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # see the composed test's comment
     f = str(toy_fixture)
     args = [f + "/corpus.f", f + "/query.f", f + "/corpus.e",
             f + "/corpus.a", f + "/lex.txt"]

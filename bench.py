@@ -45,6 +45,9 @@ SIZES = {
     # whole-test-set batches (the reference's allqueries.txt use case)
     "medium512": (20000, 512),
     "large512": (100000, 512),
+    # natural French-English text with IBM-Model-1 alignments
+    # (tools/make_realfixture.py; VERDICT r3 #7)
+    "real": (150, 24),
 }
 
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -54,6 +57,17 @@ GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def build_corpus(size: str, n_sentences: int, n_queries: int,
                  seed: int = 20260817):
     sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tools")
+    if size == "real":
+        root = os.path.dirname(os.path.abspath(__file__))
+        d = os.path.join(root, "tests", "fixtures", "real")
+        if not os.path.exists(os.path.join(d, "corpus.f")):
+            from tools.make_realfixture import build
+            build(d)
+        def rl(name):
+            with open(os.path.join(d, name), encoding="utf-8") as fh:
+                return [ln for ln in fh.read().split("\n") if ln]
+        return (rl("corpus.f"), rl("corpus.e"), rl("corpus.a"),
+                " ".join(rl("lex.txt")).split(), rl("query.f"))
     if size == "europarl":
         from tools.make_bigcorpus import make_big_corpus, make_big_queries
         f_text, e_text, a_lines, lex_tokens = make_big_corpus(

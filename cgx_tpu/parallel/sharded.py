@@ -476,7 +476,7 @@ class ShardedEngine:
     def sa_values(self, rows: np.ndarray) -> np.ndarray:
         return gather_sa(self.sidx, rows)
 
-    def _partitioned(self, pos_key, items, run_one, out_specs):
+    def _partitioned(self, pos_key, items, run_one, out_specs, fetch=True):
         """Partition items by owner shard, run ``run_one(s, *items_s)`` per
         shard, reassemble outputs in original item order.
 
@@ -486,41 +486,52 @@ class ShardedEngine:
         sharded analog of the reference saturating its one device
         (SuffixArray.cu:1374-1378) instead of a 1/S-utilization serial walk.
 
+        ``fetch=False`` defers the fetch+assembly too (returns a ``Pending``):
+        the per-shard chunks are dispatched NOW, so independent kernel groups
+        (the lookup's pcs/scan groups, the three extraction kernels) overlap
+        their device work and round trips instead of serializing — without
+        this the pipeline's dispatch-then-fetch pattern was a no-op in
+        sharded mode.
+
         Multi-host composition: only locally-addressable shards dispatch here;
         every process runs the same deterministic item list (queries are
         replicated through the device path), fills the rows its shards own,
         and the rows exchange with one sum-allgather per output (each row is
-        owned by exactly one process; the others contribute zeros).
+        owned by exactly one process; the others contribute zeros).  Both the
+        dispatches (call order) and the allgathers (fetch order) follow the
+        same deterministic code path on every process.
 
         ``out_specs``: list of (trailing_shape, dtype) per output.
-        Returns list of np arrays [N, *shape].
+        Returns list of np arrays [N, *shape] (or a Pending of it).
         """
         import os
         serial = bool(os.environ.get("CGX_SHARDED_SERIAL"))  # A/B diagnostic
         sidx = self.sidx
         N = len(pos_key)
         outs = [np.zeros((N,) + tuple(sh), dt) for sh, dt in out_specs]
-        if N == 0:
-            return outs
-        owner = sidx.owner_of(pos_key)
         dispatched = []
-        for s in sidx.local_shards():
-            sel = np.flatnonzero(owner == s)
-            if not len(sel):
-                continue
-            pend = run_one(s, *[a[sel] for a in items])
-            if serial:
-                pend.get()
-            dispatched.append((sel, pend))
-        for sel, pend in dispatched:
-            for o, r in zip(outs, pend.get()):
-                o[sel] = r
-        import jax as _jax
-        if _jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            outs = [np.asarray(multihost_utils.process_allgather(o))
-                    .sum(axis=0).astype(o.dtype) for o in outs]
-        return outs
+        if N:
+            owner = sidx.owner_of(pos_key)
+            for s in sidx.local_shards():
+                sel = np.flatnonzero(owner == s)
+                if not len(sel):
+                    continue
+                pend = run_one(s, *[a[sel] for a in items])
+                if serial:
+                    pend.get()
+                dispatched.append((sel, pend))
+
+        def _finish():
+            for sel, pend in dispatched:
+                for o, r in zip(outs, pend.get()):
+                    o[sel] = r
+            import jax as _jax
+            if _jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                return [np.asarray(multihost_utils.process_allgather(o))
+                        .sum(axis=0).astype(o.dtype) for o in outs]
+            return outs
+        return _finish() if fetch else Pending(_finish)
 
     # -- expanded entry points: ownership needs per-item positions anyway, so
     #    materialize the item list on the host and reuse the partitioned paths
@@ -536,23 +547,23 @@ class ShardedEngine:
     def pcs_expanded(self, queries, pc, base, counts, sl, el, tok, stok, fetch=True):
         item_pat, tx = self._materialize(counts)
         row = np.asarray(base, np.int64)[item_pat] + tx
-        res = self.pcs(
+        return self.pcs(
             queries, pc.onegap_start[row], pc.onegap_length[row],
             np.asarray(sl, np.int64)[item_pat].astype(np.int32),
             np.asarray(el, np.int64)[item_pat].astype(np.int32),
             np.asarray(tok, np.int64)[item_pat].astype(np.int32),
-            np.asarray(stok, np.int64)[item_pat].astype(np.int32))
-        return res if fetch else Pending(lambda: res)
+            np.asarray(stok, np.int64)[item_pat].astype(np.int32),
+            fetch=fetch)
 
     def scan_expanded(self, queries, fwd, lo, counts, sl, el, side, fetch=True):
         item_pat, tx = self._materialize(counts)
         gostart = self.sa_values(np.asarray(lo, np.int64)[item_pat] + tx)
         m = self.fwd if fwd else self.bwd
-        res = m(queries, gostart,
-                np.asarray(sl, np.int64)[item_pat].astype(np.int32),
-                np.asarray(el, np.int64)[item_pat].astype(np.int32),
-                np.asarray(side, np.int64)[item_pat].astype(np.int32))
-        return res if fetch else Pending(lambda: res)
+        return m(queries, gostart,
+                 np.asarray(sl, np.int64)[item_pat].astype(np.int32),
+                 np.asarray(el, np.int64)[item_pat].astype(np.int32),
+                 np.asarray(side, np.int64)[item_pat].astype(np.int32),
+                 fetch=fetch)
 
     def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True):
         item_pat, tx = self._materialize(counts)
@@ -570,11 +581,11 @@ class ShardedEngine:
         row_pc = np.clip(row, 0, len(pc_sp) - 1)
         css = np.where(pcm, pc_sp[row_pc], og_sp[row_sa])
         fes = np.where(pcm, pc_len[row_pc], og_len[row_sa])
-        res = self.two(css.astype(np.int32), fes.astype(np.int32))
-        return res if fetch else Pending(lambda: res)
+        return self.two(css.astype(np.int32), fes.astype(np.int32),
+                        fetch=fetch)
 
     # -- lookup kernels ----------------------------------------------------
-    def fwd(self, queries, gostart, sl, el, stok):
+    def fwd(self, queries, gostart, sl, el, stok, fetch=True):
         from cgx_tpu.search.lookup import _fwd_batch
         cfg = self.cfg
 
@@ -587,9 +598,9 @@ class ShardedEngine:
                                       cfg.max_rule_span, cfg.min_gap_size),
                 [g, a, b, c], fetch=False)
         return self._partitioned(gostart, [gostart, sl, el, stok], run_one,
-                                 [((), np.int32)])
+                                 [((), np.int32)], fetch=fetch)
 
-    def bwd(self, queries, gostart, sl, el, tok):
+    def bwd(self, queries, gostart, sl, el, tok, fetch=True):
         from cgx_tpu.search.lookup import _bwd_batch
         cfg = self.cfg
 
@@ -602,9 +613,9 @@ class ShardedEngine:
                                       cfg.max_rule_span, cfg.min_gap_size),
                 [g, a, b, c], fetch=False)
         return self._partitioned(gostart, [gostart, sl, el, tok], run_one,
-                                 [((), np.int32)])
+                                 [((), np.int32)], fetch=fetch)
 
-    def pcs(self, queries, pstart, plen, sl, el, tok, stok):
+    def pcs(self, queries, pstart, plen, sl, el, tok, stok, fetch=True):
         from cgx_tpu.search.lookup import _pcs_batch
         cfg = self.cfg
 
@@ -616,9 +627,9 @@ class ShardedEngine:
                                       offs, cfg.max_rule_span),
                 list(its), fetch=False)
         return self._partitioned(pstart, [pstart, plen, sl, el, tok, stok],
-                                 run_one, [((), bool)])
+                                 run_one, [((), bool)], fetch=fetch)
 
-    def two(self, pstart, plen):
+    def two(self, pstart, plen, fetch=True):
         from cgx_tpu.search.lookup import _two_batch
         cfg = self.cfg
 
@@ -630,7 +641,7 @@ class ShardedEngine:
                                       cfg.max_rule_span, cfg.min_gap_size),
                 [p, q], fetch=False)
         return self._partitioned(pstart, [pstart, plen], run_one,
-                                 [((), np.int32)] * 2)
+                                 [((), np.int32)] * 2, fetch=fetch)
 
     def gap_check(self, gostart, fwd, fetch=True):
         """Owner-computes precompute gap checks (the one device stage of the
@@ -650,9 +661,8 @@ class ShardedEngine:
                                      cfg.max_rule_span, cfg.min_gap_size,
                                      fwd),),
                 [g], fetch=False)
-        res = self._partitioned(gostart, [gostart], run_one,
-                                [((MMOV,), bool)])
-        return res if fetch else Pending(lambda: res)
+        return self._partitioned(gostart, [gostart], run_one,
+                                 [((MMOV,), bool)], fetch=fetch)
 
     # -- extraction kernels ------------------------------------------------
     def contig(self, sa_pos, lm, fetch=True):
@@ -668,9 +678,8 @@ class ShardedEngine:
                                              offs, cfg.max_rule_span,
                                              cfg.max_rule_symbols),
                 [c, l], fetch=False)
-        res = self._partitioned(cs_all, [cs_all, np.asarray(lm, np.int32)],
-                                run_one, [((), np.int32)] * 8)
-        return res if fetch else Pending(lambda: res)
+        return self._partitioned(cs_all, [cs_all, np.asarray(lm, np.int32)],
+                                 run_one, [((), np.int32)] * 8, fetch=fetch)
 
     def onegap(self, css, fes, sls, els, fetch=True):
         from cgx_tpu.extract.device import _onegap_batch
@@ -684,9 +693,8 @@ class ShardedEngine:
                                          cfg.max_rule_span,
                                          cfg.max_rule_symbols),
                 list(its), fetch=False)
-        res = self._partitioned(css, [css, fes, sls, els], run_one,
-                                [((), np.int32)] * 6)
-        return res if fetch else Pending(lambda: res)
+        return self._partitioned(css, [css, fes, sls, els], run_one,
+                                 [((), np.int32)] * 6, fetch=fetch)
 
     def twogap(self, css, fes, ses, sls, els, cls, fetch=True):
         from cgx_tpu.extract.device import _twogap_batch
@@ -699,6 +707,5 @@ class ShardedEngine:
                                          *(jnp.asarray(v) for v in x), offs,
                                          cfg.max_rule_span),
                 list(its), fetch=False)
-        res = self._partitioned(css, [css, fes, ses, sls, els, cls],
-                                run_one, [((), np.int32)] * 2)
-        return res if fetch else Pending(lambda: res)
+        return self._partitioned(css, [css, fes, ses, sls, els, cls],
+                                 run_one, [((), np.int32)] * 2, fetch=fetch)

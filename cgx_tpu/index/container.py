@@ -48,6 +48,12 @@ class GrammarIndex:
     # the local device this replica is committed to (None = default device);
     # set by parallel.localdp when it replicates the index per device
     device: object = None
+    # host seed tables for the refinement search (passes.build_seed_tables):
+    # (seed_lo1, seed_hi1, seed_pk) — answer refinement depths 0-1 on host
+    seed_host: tuple = None
+
+    def seed_tables(self):
+        return self.seed_host
 
     def device_query_tokens(self, queries: QuerySet) -> jnp.ndarray:
         # cached on the QuerySet instance (lifetime-tied, no id() aliasing)
@@ -136,4 +142,6 @@ def build_index(source: SourceCorpus, target: TargetCorpus, sa: SAIndex,
         tgt_str_host=np.asarray(target.str_),
         lex_val1_host=np.asarray(lex.val1, dtype=np.float32),
         lex_val2_host=np.asarray(lex.val2, dtype=np.float32),
+        seed_host=passes.build_seed_tables(refstr_padded,
+                                           np.asarray(sa.sa, np.int64)),
     )

@@ -51,8 +51,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cgx_tpu.config import ExtractorConfig
 from cgx_tpu.search import passes
-from cgx_tpu.types import Pass1Result, Pass2Result
-from cgx_tpu.utils.batching import Pending, chunked_batch, pad_items
+from cgx_tpu.utils.batching import Pending, chunked_batch
 
 import warnings
 
@@ -61,16 +60,9 @@ with warnings.catch_warnings():
     from jax.experimental.shard_map import shard_map  # check_rep supported
 
 MMOV = 16          # scan move width (search.lookup.MMOV)
-# refinement depths per device dispatch: an escalating ladder — most query
-# tokens' SA intervals empty within a few depths (longestmatch is short), so
-# early dispatches stay shallow; survivors are batched 16 depths at a time so
-# a qry_max_length=1024 token costs ~66 round trips instead of 256.  Two
-# compiled programs total (depths in {4, 16}).  Depths 0-1 never dispatch at
-# all: they are answered from the host-side seed tables (see
-# ``_seed_intervals``), so the ladder starts at depth 2.
-DEPTH_CHUNK = 4
-DEPTH_CHUNK_DEEP = 16
-DEPTH_LADDER_SWITCH = 6   # switch to deep chunks once depth >= this
+# The refinement depth ladder and the host seed tables (depths 0-1 with no
+# device dispatch) are shared with the replicated engine — see
+# cgx_tpu.search.passes (DEPTH_CHUNK*, build_seed_tables, drive_refinement).
 
 
 def make_mesh(n_devices: int = None, devices=None) -> Mesh:
@@ -227,12 +219,8 @@ def build_sharded_index(source, target, sa, align, cfg: ExtractorConfig,
     sa_l = sa_np[np.clip(rcols, 0, reflen - 1)]
 
     # ---- host seed tables for refinement depths 0-1 (no device dispatch)
-    first = refstr_padded[sa_np].astype(np.int64)      # nondecreasing
-    second = refstr_padded[sa_np + 1].astype(np.int64)
-    seed_pk = (first << 32) | second                   # globally sorted
-    counts1 = np.bincount(first, minlength=int(first[-1]) + 2)
-    seed_hi1 = np.cumsum(counts1, dtype=np.int64)
-    seed_lo1 = seed_hi1 - counts1
+    seed_lo1, seed_hi1, seed_pk = passes.build_seed_tables(
+        refstr_padded, sa_np.astype(np.int64))
 
     shard = NamedSharding(mesh, P("sa"))
     rmeta = np.stack([rstart, rcount], axis=1).astype(np.int32)[:, None, :]
@@ -353,109 +341,25 @@ def gather_sa(sidx: ShardedGrammarIndex, rows: np.ndarray) -> np.ndarray:
     return out[0].astype(np.int32)
 
 
-def _seed_intervals(sidx: ShardedGrammarIndex, v0, v1, sls):
-    """Depth-0/1 refinement intervals from the host seed tables — bit-equal to
-    what ``_refine_chunk`` would compute at depths 0 and 1 (including the
-    empty-interval representations for OOV / absent / past-query-end lanes),
-    with zero device dispatch."""
-    reflen = sidx.reflen
-    nv = len(sidx.seed_lo1) - 1
-    ok0 = (v0 >= 0) & (v0 < nv)
-    v0c = np.clip(v0, 0, nv - 1)
-    # depth 0: token bucket; v0 < 0 -> [0, 0); v0 >= nv -> [reflen, reflen)
-    lo1 = np.where(ok0, sidx.seed_lo1[v0c], np.where(v0 < 0, 0, reflen))
-    hi1 = np.where(ok0, sidx.seed_hi1[v0c], np.where(v0 < 0, 0, reflen))
-    # depth 1: packed-key searchsorted; collapses to [lo1, lo1) when the lane
-    # is past the query end (sl < 2), the bucket is empty, or v1 is OOV
-    key = (v0c.astype(np.int64) << 32) | np.clip(v1, 0, None).astype(np.int64)
-    ext = ok0 & (sls >= 2) & (hi1 > lo1) & (v1 >= 0)
-    lo2 = np.where(ext, np.searchsorted(sidx.seed_pk, key, side="left"), lo1)
-    hi2 = np.where(ext, np.searchsorted(sidx.seed_pk, key, side="right"), lo1)
-    return (lo1.astype(np.int32), hi1.astype(np.int32),
-            lo2.astype(np.int32), hi2.astype(np.int32))
-
-
 def sharded_passes(sidx: ShardedGrammarIndex, queries):
-    """Pass 1 + pass 2 via interval refinement; bit-equal to
-    passes.pass1_tpu / pass2_tpu (search-path internals firstfindhit* are
-    reported as -1 — they are not semantic outputs)."""
-    n = queries.totaltokens
-    ends = np.array([queries.query_end(int(q)) for q in queries.tok_to_qry],
-                    dtype=np.int32)
-    toks = np.arange(n, dtype=np.int32)
-    sls = ends - toks
-    qtok_host = np.asarray(queries.padded_tokens())
-    qtok_dev = jnp.asarray(qtok_host)
+    """Pass 1 + pass 2 via interval refinement over the distributed arrays;
+    bit-equal to passes.pass1_tpu / pass2_tpu (search-path internals
+    firstfindhit* are reported as -1 — they are not semantic outputs).
+    Seed tables, depth ladder, and the driving loop are shared with the
+    replicated engine (passes.drive_refinement); only the gathers differ
+    (one-hot psum over the rank/token-sharded arrays)."""
+    qtok_dev = jnp.asarray(queries.padded_tokens())
 
-    # depths 0-1 answered on host (seed tables), ladder starts at depth 2
-    if n:
-        lo1, hi1, lo2, hi2 = _seed_intervals(
-            sidx, qtok_host[toks], qtok_host[toks + 1], sls)
-    else:
-        lo1 = hi1 = lo2 = hi2 = np.zeros(0, np.int32)
-    ups_all = [lo1, lo2]
-    downs_all = [hi1 - 1, hi2 - 1]
-    lo, hi = lo2.copy(), hi2.copy()
-    alive = (hi > lo) & (sls > 2)   # sl==2 lanes are fully answered by the seed
-    depth = 2
-    max_depth = int(sls.max()) if n else 0
-    while alive.any() and depth < max_depth:
-        dchunk = DEPTH_CHUNK if depth < DEPTH_LADDER_SWITCH \
-            else DEPTH_CHUNK_DEEP
-        idx = np.flatnonzero(alive)
-        nreal, toks_p, sls_p, lo_p, hi_p = pad_items(
-            toks[idx], sls[idx], lo[idx], hi[idx])
-        ups, downs, lo2, hi2 = _refine_chunk(
+    def dispatch(toks_p, sls_p, lo_p, hi_p, depth, dchunk):
+        return _refine_chunk(
             sidx.sa_l, sidx.ref_l, sidx.rmeta, sidx.smeta, qtok_dev,
             jnp.asarray(toks_p), jnp.asarray(sls_p), jnp.asarray(lo_p),
             jnp.asarray(hi_p), jnp.int32(depth),
             mesh=sidx.mesh, depths=dchunk)
-        ups = np.asarray(ups)[:nreal]
-        downs = np.asarray(downs)[:nreal]
-        lo2 = np.asarray(lo2)[:nreal]
-        hi2 = np.asarray(hi2)[:nreal]
-        for c in range(dchunk):
-            u = np.full(n, -1, np.int32)
-            d = np.full(n, -2, np.int32)
-            u[idx] = ups[:, c]
-            d[idx] = downs[:, c]
-            ups_all.append(u)
-            downs_all.append(d)
-        lo[idx] = lo2
-        hi[idx] = hi2
-        alive[idx] = hi2 > lo2
-        depth += dchunk
 
-    # longestmatch: deepest depth with a non-empty interval
-    lm = np.zeros(n, np.int32)
-    for dix in range(len(ups_all)):
-        hit = (ups_all[dix] >= 0) & (downs_all[dix] >= ups_all[dix])
-        lm = np.where(hit, dix + 1, lm)
-    neg = np.full(n, -1, np.int32)
-    if ups_all:
-        hit1 = (lm >= 1)
-        up1 = np.where(hit1, ups_all[0], -1).astype(np.int32)
-        down1 = np.where(hit1, downs_all[0], -1).astype(np.int32)
-    else:
-        up1, down1 = neg.copy(), neg.copy()
-    p1 = Pass1Result(up=up1, down=down1, firstfindhit=neg.copy(),
-                     firstfindhitL=neg.copy(), firstfindhitR=neg.copy(),
-                     longestmatch=lm)
-
-    connectoffset, toks2, matches = passes.pass2_work_items(p1)
-    if len(toks2) == 0:
-        p2 = Pass2Result(connectoffset=connectoffset,
-                         up=np.empty(0, np.int32),
-                         down=np.empty(0, np.int32))
-    else:
-        ups_m = np.stack(ups_all) if ups_all else np.empty((0, n), np.int32)
-        downs_m = np.stack(downs_all) if downs_all \
-            else np.empty((0, n), np.int32)
-        p2 = Pass2Result(
-            connectoffset=connectoffset,
-            up=ups_m[matches - 1, toks2].astype(np.int32),
-            down=downs_m[matches - 1, toks2].astype(np.int32))
-    return p1, p2
+    return passes.drive_refinement(
+        queries, sidx.reflen, (sidx.seed_lo1, sidx.seed_hi1, sidx.seed_pk),
+        dispatch)
 
 
 # ---------------------------------------------------------------------------

@@ -198,10 +198,15 @@ def _front_stages(ctx, queries, cfg, t):
         with t.phase("kernel2"):
             p2 = engine.pass2(queries, p1)
     else:
-        with t.phase("kernel"):
-            p1 = passes.pass1_tpu(index, queries)
-        with t.phase("kernel2"):
-            p2 = passes.pass2_tpu(index, queries, p1)
+        import os
+        if os.environ.get("CGX_LCP_PASSES"):   # A/B: transplanted LCP search
+            with t.phase("kernel"):
+                p1 = passes.pass1_tpu(index, queries)
+            with t.phase("kernel2"):
+                p2 = passes.pass2_tpu(index, queries, p1)
+        else:
+            with t.phase("kernel"):
+                p1, p2 = passes.refine_passes(index, queries)
     with t.phase("enumeration"):
         enum1, search1 = ef.fast_sort_and_dedup_onegap(
             ef.fast_one_gap_enumeration(queries, p1, cfg), queries)

@@ -277,3 +277,197 @@ def pass2_tpu(index, queries, p1: Pass1Result) -> Pass2Result:
         [toks, matches, p1.firstfindhitL[toks], p1.firstfindhit[toks],
          p1.firstfindhitR[toks]], parallel_compile=True)
     return Pass2Result(connectoffset=connectoffset, up=up, down=down)
+
+
+# ---------------------------------------------------------------------------
+# Seeded interval-refinement search (the default pass-1/2 engine)
+# ---------------------------------------------------------------------------
+# For a query token, the SA interval of its length-(L+1) prefix is a
+# sub-interval of its length-L interval, and within that interval the
+# (L+1)-th suffix tokens are sorted — so each depth needs only two integer
+# lower-bound searches over single-token reads ``refstr[sa[M] + L]``.  Depths
+# 0-1 are answered from host seed tables (``build_seed_tables``) with no
+# device dispatch at all; the device ladder starts at depth 2 from a tight
+# bracket.  Semantically equal to the transplanted LCP search
+# (pass1_tpu/pass2_tpu, kept as the CGX_LCP_PASSES=1 A/B path) — enforced by
+# the byte-identity suite — but with far fewer sequential device steps on
+# large corpora (the LCP search's lockstep compare loops scale with corpus
+# depth) and two small compiled programs instead of two large ones.
+# Search-path internals ``firstfindhit*`` are reported as -1 (they are not
+# semantic outputs; pass-2 results come from the refinement depths directly).
+
+# refinement depths per device dispatch: an escalating ladder — most query
+# tokens' SA intervals empty within a few depths, so early dispatches stay
+# shallow; survivors batch 16 depths at a time.  Two compiled programs total.
+DEPTH_CHUNK = 4
+DEPTH_CHUNK_DEEP = 16
+DEPTH_LADDER_SWITCH = 6   # switch to deep chunks once depth >= this
+
+
+def build_seed_tables(refstr_padded: np.ndarray, sa_np: np.ndarray):
+    """Host seed tables answering refinement depths 0-1: refstr[sa] is
+    nondecreasing, so depth-1 intervals are bucket boundaries (exclusive
+    bincount cumsum); packed (first << 32 | second) keys are globally sorted,
+    so depth-2 intervals are one vectorized searchsorted."""
+    first = refstr_padded[sa_np].astype(np.int64)      # nondecreasing
+    second = refstr_padded[sa_np + 1].astype(np.int64)
+    seed_pk = (first << 32) | second                   # globally sorted
+    counts1 = np.bincount(first, minlength=int(first[-1]) + 2)
+    seed_hi1 = np.cumsum(counts1, dtype=np.int64)
+    seed_lo1 = seed_hi1 - counts1
+    return seed_lo1, seed_hi1, seed_pk
+
+
+def seed_intervals(seed_lo1, seed_hi1, seed_pk, reflen, v0, v1, sls):
+    """Depth-0/1 refinement intervals from the host seed tables — bit-equal
+    to what the device refinement would compute at depths 0 and 1 (including
+    the empty-interval representations for OOV / absent / past-query-end
+    lanes), with zero device dispatch."""
+    nv = len(seed_lo1) - 1
+    ok0 = (v0 >= 0) & (v0 < nv)
+    v0c = np.clip(v0, 0, nv - 1)
+    # depth 0: token bucket; v0 < 0 -> [0, 0); v0 >= nv -> [reflen, reflen)
+    lo1 = np.where(ok0, seed_lo1[v0c], np.where(v0 < 0, 0, reflen))
+    hi1 = np.where(ok0, seed_hi1[v0c], np.where(v0 < 0, 0, reflen))
+    # depth 1: packed-key searchsorted; collapses to [lo1, lo1) when the lane
+    # is past the query end (sl < 2), the bucket is empty, or v1 is OOV
+    key = (v0c.astype(np.int64) << 32) | np.clip(v1, 0, None).astype(np.int64)
+    ext = ok0 & (sls >= 2) & (hi1 > lo1) & (v1 >= 0)
+    lo2 = np.where(ext, np.searchsorted(seed_pk, key, side="left"), lo1)
+    hi2 = np.where(ext, np.searchsorted(seed_pk, key, side="right"), lo1)
+    return (lo1.astype(np.int32), hi1.astype(np.int32),
+            lo2.astype(np.int32), hi2.astype(np.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("depths",))
+def _refine_chunk_local(sa, refstr, qtok, toks, sls, lo, hi, d0, *, depths):
+    """Single-device refinement: ``depths`` levels for every lane, two
+    lower-bound binary searches per level over chained gathers
+    ``refstr[sa[M] + depth]``.  (The sharded engine runs the same algorithm
+    with one-hot psum gathers over the distributed arrays.)"""
+    def lane(tok, sl, lo0, hi0):
+        def lb(l0, h0, key, depth):
+            def cond(st):
+                return st[1] > st[0]
+
+            def step(st):
+                l, h = st
+                M = (l + h) >> 1
+                t = refstr[sa[M] + depth]
+                ge = t >= key
+                return jnp.where(ge, l, M + 1), jnp.where(ge, M, h)
+            return jax.lax.while_loop(cond, step, (l0, h0))[0]
+
+        def dstep(c, st):
+            lo_c, hi_c, ups, downs = st
+            depth = d0 + c
+            qt = jnp.where(depth < sl, qtok[tok + depth], jnp.int32(-1))
+            nlo = lb(lo_c, hi_c, qt, depth)
+            nhi = lb(nlo, hi_c, qt + jnp.int32(1), depth)
+            ups = ups.at[c].set(nlo)
+            downs = downs.at[c].set(nhi - 1)
+            return nlo, nhi, ups, downs
+
+        z = jnp.zeros(depths, jnp.int32)
+        lo_f, hi_f, ups, downs = jax.lax.fori_loop(
+            0, depths, dstep, (lo0, hi0, z, z))
+        return ups, downs, lo_f, hi_f
+
+    return jax.vmap(lane)(toks, sls, lo, hi)
+
+
+def drive_refinement(queries, reflen, seed, dispatch):
+    """Shared pass-1/2 driver over a refinement dispatcher.
+
+    ``seed``: (seed_lo1, seed_hi1, seed_pk) host tables.
+    ``dispatch(toks_p, sls_p, lo_p, hi_p, depth, dchunk)`` runs ``dchunk``
+    refinement levels on device and returns (ups, downs, lo2, hi2) as
+    jax arrays [len(toks_p), dchunk] / [len(toks_p)].
+    Returns (Pass1Result, Pass2Result) bit-equal to pass1_tpu/pass2_tpu's
+    semantic outputs (firstfindhit* reported as -1)."""
+    n = queries.totaltokens
+    ends = np.array([queries.query_end(int(q)) for q in queries.tok_to_qry],
+                    dtype=np.int32)
+    toks = np.arange(n, dtype=np.int32)
+    sls = ends - toks
+    qtok_host = np.asarray(queries.padded_tokens())
+
+    # depths 0-1 answered on host (seed tables), ladder starts at depth 2
+    if n:
+        lo1, hi1, lo2, hi2 = seed_intervals(
+            *seed, reflen, qtok_host[toks], qtok_host[toks + 1], sls)
+    else:
+        lo1 = hi1 = lo2 = hi2 = np.zeros(0, np.int32)
+    ups_all = [lo1, lo2]
+    downs_all = [hi1 - 1, hi2 - 1]
+    lo, hi = lo2.copy(), hi2.copy()
+    alive = (hi > lo) & (sls > 2)   # sl==2 lanes are fully answered by the seed
+    depth = 2
+    max_depth = int(sls.max()) if n else 0
+    while alive.any() and depth < max_depth:
+        dchunk = DEPTH_CHUNK if depth < DEPTH_LADDER_SWITCH \
+            else DEPTH_CHUNK_DEEP
+        idx = np.flatnonzero(alive)
+        nreal, toks_p, sls_p, lo_p, hi_p = batching.pad_items(
+            toks[idx], sls[idx], lo[idx], hi[idx])
+        ups, downs, lo2c, hi2c = dispatch(toks_p, sls_p, lo_p, hi_p,
+                                          depth, dchunk)
+        ups = np.asarray(ups)[:nreal]
+        downs = np.asarray(downs)[:nreal]
+        lo2c = np.asarray(lo2c)[:nreal]
+        hi2c = np.asarray(hi2c)[:nreal]
+        for c in range(dchunk):
+            u = np.full(n, -1, np.int32)
+            d = np.full(n, -2, np.int32)
+            u[idx] = ups[:, c]
+            d[idx] = downs[:, c]
+            ups_all.append(u)
+            downs_all.append(d)
+        lo[idx] = lo2c
+        hi[idx] = hi2c
+        alive[idx] = hi2c > lo2c
+        depth += dchunk
+
+    # longestmatch: deepest depth with a non-empty interval
+    lm = np.zeros(n, np.int32)
+    for dix in range(len(ups_all)):
+        hit = (ups_all[dix] >= 0) & (downs_all[dix] >= ups_all[dix])
+        lm = np.where(hit, dix + 1, lm)
+    neg = np.full(n, -1, np.int32)
+    hit1 = (lm >= 1)
+    up1 = np.where(hit1, ups_all[0], -1).astype(np.int32)
+    down1 = np.where(hit1, downs_all[0], -1).astype(np.int32)
+    p1 = Pass1Result(up=up1, down=down1, firstfindhit=neg.copy(),
+                     firstfindhitL=neg.copy(), firstfindhitR=neg.copy(),
+                     longestmatch=lm)
+
+    connectoffset, toks2, matches = pass2_work_items(p1)
+    if len(toks2) == 0:
+        p2 = Pass2Result(connectoffset=connectoffset,
+                         up=np.empty(0, np.int32),
+                         down=np.empty(0, np.int32))
+    else:
+        ups_m = np.stack(ups_all) if ups_all else np.empty((0, n), np.int32)
+        downs_m = np.stack(downs_all) if downs_all \
+            else np.empty((0, n), np.int32)
+        p2 = Pass2Result(
+            connectoffset=connectoffset,
+            up=ups_m[matches - 1, toks2].astype(np.int32),
+            down=downs_m[matches - 1, toks2].astype(np.int32))
+    return p1, p2
+
+
+def refine_passes(index, queries):
+    """Pass 1 + pass 2 on the replicated single-device index via seeded
+    interval refinement (the CGX_LCP_PASSES=1 env knob restores the
+    transplanted LCP-search kernels)."""
+    qtok_dev = index.device_query_tokens(queries)
+
+    def dispatch(toks_p, sls_p, lo_p, hi_p, depth, dchunk):
+        return _refine_chunk_local(
+            index.sa, index.refstr_padded, qtok_dev,
+            jnp.asarray(toks_p), jnp.asarray(sls_p), jnp.asarray(lo_p),
+            jnp.asarray(hi_p), jnp.int32(depth), depths=dchunk)
+
+    return drive_refinement(queries, index.reflen, index.seed_tables(),
+                            dispatch)

@@ -129,6 +129,36 @@ class LocalDPEngine:
     # search passes (routed through the engine by the pipeline)
     # ------------------------------------------------------------------
 
+    def refine_passes(self, queries):
+        """Seeded interval-refinement pass 1/2 (the production default,
+        passes.refine_passes) with each dispatch's lane axis split across
+        the local devices; byte-identical by construction (per-lane pure
+        map)."""
+        import jax.numpy as jnp
+        from cgx_tpu.search import passes
+        from cgx_tpu.utils.batching import pad_items
+
+        def dispatch(toks_p, sls_p, lo_p, hi_p, depth, dchunk):
+            spans = self._item_spans(len(toks_p))
+            jobs = []
+            for k, s, e in spans:
+                ix = self.indices[k]
+                nreal, t_p, s_p, l_p, h_p = pad_items(
+                    toks_p[s:e], sls_p[s:e], lo_p[s:e], hi_p[s:e])
+                jobs.append((nreal, passes._refine_chunk_local(
+                    ix.sa, ix.refstr_padded, ix.device_query_tokens(queries),
+                    jnp.asarray(t_p), jnp.asarray(s_p), jnp.asarray(l_p),
+                    jnp.asarray(h_p), jnp.int32(depth), depths=dchunk)))
+            import jax
+            fetched = jax.device_get([res for _, res in jobs])
+            cols = [[np.asarray(x)[:nreal] for x in res]
+                    for (nreal, _), res in zip(jobs, fetched)]
+            return [np.concatenate(c) for c in zip(*cols)]
+
+        ix0 = self.indices[0]
+        return passes.drive_refinement(queries, ix0.reflen,
+                                       ix0.seed_tables(), dispatch)
+
     def pass1(self, queries) -> Pass1Result:
         n = queries.totaltokens
         ends = np.array([queries.query_end(int(q))

@@ -193,10 +193,15 @@ def _front_stages(ctx, queries, cfg, t):
             p1, p2 = shx.sharded_passes(ctx["sidx"], queries)
     elif hasattr(engine, "pass1"):
         # LocalDPEngine: the search passes fan over the local devices too
-        with t.phase("kernel"):
-            p1 = engine.pass1(queries)
-        with t.phase("kernel2"):
-            p2 = engine.pass2(queries, p1)
+        import os
+        if os.environ.get("CGX_LCP_PASSES"):   # A/B: transplanted LCP search
+            with t.phase("kernel"):
+                p1 = engine.pass1(queries)
+            with t.phase("kernel2"):
+                p2 = engine.pass2(queries, p1)
+        else:
+            with t.phase("kernel"):
+                p1, p2 = engine.refine_passes(queries)
     else:
         import os
         if os.environ.get("CGX_LCP_PASSES"):   # A/B: transplanted LCP search

@@ -165,9 +165,12 @@ def chunked_indices(call, n_items: int, chunk: int = CHUNK,
     def _finish():
         if not pending:
             return None
-        parts = [[np.asarray(x)[: -(-ni // item_div)]
-                  for x in jax.device_get(res)]
-                 for res, ni in pending]
+        # ONE device_get over every chunk's outputs: all D2H copies start
+        # async before any blocks, so the per-chunk transfer round trips
+        # overlap instead of serializing (chunk count x RTT through the relay)
+        fetched = jax.device_get([res for res, _ in pending])
+        parts = [[np.asarray(x)[: -(-ni // item_div)] for x in res]
+                 for res, (_, ni) in zip(fetched, pending)]
         return [np.concatenate(cols) for cols in zip(*parts)]
     return _finish() if fetch else Pending(_finish)
 
@@ -223,8 +226,10 @@ def chunked_batch(call, arrays, chunk: int = CHUNK, fetch: bool = True,
     def _finish():
         if not pending:
             return None
-        parts = [[np.asarray(x)[: -(-ni // item_div)]
-                  for x in jax.device_get(res)]
-                 for res, ni in pending]
+        # one device_get over all chunks: D2H copies overlap (see
+        # chunked_indices._finish)
+        fetched = jax.device_get([res for res, _ in pending])
+        parts = [[np.asarray(x)[: -(-ni // item_div)] for x in res]
+                 for res, (_, ni) in zip(fetched, pending)]
         return [np.concatenate(cols) for cols in zip(*parts)]
     return _finish() if fetch else Pending(_finish)

@@ -238,11 +238,11 @@ class ReplicatedEngine:
         return _post() if fetch else Pending(_post)
 
     def scan_expanded(self, queries, fwd, lo, counts, sl, el, side,
-                      fetch=True):
+                      fetch=True, do_gap=True):
         import os
         if os.environ.get("CGX_SCAN_COLS"):
             return self._scan_expanded_cols(queries, fwd, lo, counts, sl, el,
-                                            side, fetch)
+                                            side, fetch, do_gap)
         from cgx_tpu.search.lookup import _scan_batch_exp
         from cgx_tpu.utils.batching import bucket_size
         ix, cfg = self.index, self.cfg
@@ -276,7 +276,8 @@ class ReplicatedEngine:
             return _scan_batch_exp(
                 ix.refstr_padded, ix.rlp, ix.lr_tar, ix.sa, pattab_d, offs_d,
                 jnp.int32(s_), jnp.int32(pat0_), jnp.int32(D), ix.offs0,
-                cfg.max_rule_span, cfg.min_gap_size, fwd, n_call_)
+                cfg.max_rule_span, cfg.min_gap_size, fwd, n_call_,
+                do_gap=do_gap)
 
         pending = _expanded_dispatch(_disp, N, offs, SCAN_CHUNK,
                                      parallel=self._parallel)
@@ -291,7 +292,7 @@ class ReplicatedEngine:
         return _post() if fetch else Pending(_post)
 
     def _scan_expanded_cols(self, queries, fwd, lo, counts, sl, el, side,
-                            fetch=True):
+                            fetch=True, do_gap=True):
         """Column-upload variant (CGX_SCAN_COLS=1 A/B diagnostic): 24 B/item
         H2D of host-resolved per-item fields."""
         from cgx_tpu.search.lookup import _scan_batch_cols
@@ -315,15 +316,16 @@ class ReplicatedEngine:
             lambda *a: _scan_batch_cols(ix.refstr_padded, ix.rlp, ix.lr_tar,
                                         *(jnp.asarray(x) for x in a),
                                         ix.offs0, cfg.max_rule_span,
-                                        cfg.min_gap_size, fwd),
+                                        cfg.min_gap_size, fwd, do_gap=do_gap),
             cols, chunk=SCAN_CHUNK, fetch=fetch, floor=SCAN_CHUNK // 8,
             parallel_compile=True)
 
-    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True):
+    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True,
+                     do_gap=True):
         import os
         if os.environ.get("CGX_SCAN_COLS"):
             return self._two_expanded_cols(onegap_sa, pc, lo, counts, pcmode,
-                                           fetch)
+                                           fetch, do_gap)
         from cgx_tpu.search.lookup import _two_batch_exp
         from cgx_tpu.utils.batching import bucket_size
         ix, cfg = self.index, self.cfg
@@ -358,7 +360,8 @@ class ReplicatedEngine:
             return _two_batch_exp(
                 ix.refstr_padded, ix.rlp, ix.lr_tar, ogrows, pcrows, pattab_d,
                 offs_d, jnp.int32(s_), jnp.int32(pat0_), jnp.int32(D),
-                ix.offs0, cfg.max_rule_span, cfg.min_gap_size, n_call_)
+                ix.offs0, cfg.max_rule_span, cfg.min_gap_size, n_call_,
+                do_gap=do_gap)
 
         pending = _expanded_dispatch(_disp, N, offs, SCAN_CHUNK,
                                      parallel=self._parallel)
@@ -374,7 +377,7 @@ class ReplicatedEngine:
         return _post() if fetch else Pending(_post)
 
     def _two_expanded_cols(self, onegap_sa, pc, lo, counts, pcmode,
-                           fetch=True):
+                           fetch=True, do_gap=True):
         """Column-upload variant (CGX_SCAN_COLS=1 A/B diagnostic)."""
         from cgx_tpu.search.lookup import _two_batch_packed
         ix, cfg = self.index, self.cfg
@@ -397,7 +400,7 @@ class ReplicatedEngine:
             lambda *a: _two_batch_packed(ix.refstr_padded, ix.rlp, ix.lr_tar,
                                          *(jnp.asarray(x) for x in a),
                                          ix.offs0, cfg.max_rule_span,
-                                         cfg.min_gap_size),
+                                         cfg.min_gap_size, do_gap=do_gap),
             [css.astype(np.int32), fes.astype(np.int32)],
             chunk=SCAN_CHUNK, fetch=False, floor=SCAN_CHUNK // 8,
             parallel_compile=True)

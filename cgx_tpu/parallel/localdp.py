@@ -212,28 +212,29 @@ class LocalDPEngine:
         return self._merge(pends, fetch)
 
     def scan_expanded(self, queries, fwd, lo, counts, sl, el, side,
-                      fetch=True):
+                      fetch=True, do_gap=True):
         counts = np.asarray(counts, np.int64)
         spans = self._pattern_spans(counts)
         arrs = [np.asarray(a) for a in (lo, counts, sl, el, side)]
         if len(spans) <= 1:
             return self.engines[0].scan_expanded(queries, fwd, *arrs,
-                                                 fetch=fetch)
+                                                 fetch=fetch, do_gap=do_gap)
         pends = [self.engines[k].scan_expanded(
-            queries, fwd, *(a[s:e] for a in arrs), fetch=False)
-            for k, s, e in spans]
+            queries, fwd, *(a[s:e] for a in arrs), fetch=False,
+            do_gap=do_gap) for k, s, e in spans]
         return self._merge(pends, fetch)
 
-    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True):
+    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True,
+                     do_gap=True):
         counts = np.asarray(counts, np.int64)
         spans = self._pattern_spans(counts)
         arrs = [np.asarray(a) for a in (lo, counts, pcmode)]
         if len(spans) <= 1:
             return self.engines[0].two_expanded(onegap_sa, pc, *arrs,
-                                                fetch=fetch)
+                                                fetch=fetch, do_gap=do_gap)
         pends = [self.engines[k].two_expanded(
-            onegap_sa, pc, *(a[s:e] for a in arrs), fetch=False)
-            for k, s, e in spans]
+            onegap_sa, pc, *(a[s:e] for a in arrs), fetch=False,
+            do_gap=do_gap) for k, s, e in spans]
         return self._merge(pends, fetch)
 
     def gap_check(self, gostart, fwd, fetch=True):

@@ -459,7 +459,8 @@ class ShardedEngine:
             np.asarray(stok, np.int64)[item_pat].astype(np.int32),
             fetch=fetch)
 
-    def scan_expanded(self, queries, fwd, lo, counts, sl, el, side, fetch=True):
+    def scan_expanded(self, queries, fwd, lo, counts, sl, el, side,
+                      fetch=True, do_gap=True):
         item_pat, tx = self._materialize(counts)
         gostart = self.sa_values(np.asarray(lo, np.int64)[item_pat] + tx)
         m = self.fwd if fwd else self.bwd
@@ -467,9 +468,10 @@ class ShardedEngine:
                  np.asarray(sl, np.int64)[item_pat].astype(np.int32),
                  np.asarray(el, np.int64)[item_pat].astype(np.int32),
                  np.asarray(side, np.int64)[item_pat].astype(np.int32),
-                 fetch=fetch)
+                 fetch=fetch, do_gap=do_gap)
 
-    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True):
+    def two_expanded(self, onegap_sa, pc, lo, counts, pcmode, fetch=True,
+                     do_gap=True):
         item_pat, tx = self._materialize(counts)
         row = np.asarray(lo, np.int64)[item_pat] + tx
         pcm = np.asarray(pcmode, bool)[item_pat]
@@ -486,10 +488,10 @@ class ShardedEngine:
         css = np.where(pcm, pc_sp[row_pc], og_sp[row_sa])
         fes = np.where(pcm, pc_len[row_pc], og_len[row_sa])
         return self.two(css.astype(np.int32), fes.astype(np.int32),
-                        fetch=fetch)
+                        fetch=fetch, do_gap=do_gap)
 
     # -- lookup kernels ----------------------------------------------------
-    def fwd(self, queries, gostart, sl, el, stok, fetch=True):
+    def fwd(self, queries, gostart, sl, el, stok, fetch=True, do_gap=True):
         from cgx_tpu.search.lookup import _fwd_batch
         cfg = self.cfg
 
@@ -499,12 +501,13 @@ class ShardedEngine:
             return chunked_batch(
                 lambda *x: _fwd_batch(ref, rlp, lrt, qt,
                                       *(jnp.asarray(v) for v in x), offs,
-                                      cfg.max_rule_span, cfg.min_gap_size),
+                                      cfg.max_rule_span, cfg.min_gap_size,
+                                      do_gap=do_gap),
                 [g, a, b, c], fetch=False)
         return self._partitioned(gostart, [gostart, sl, el, stok], run_one,
                                  [((), np.int32)], fetch=fetch)
 
-    def bwd(self, queries, gostart, sl, el, tok, fetch=True):
+    def bwd(self, queries, gostart, sl, el, tok, fetch=True, do_gap=True):
         from cgx_tpu.search.lookup import _bwd_batch
         cfg = self.cfg
 
@@ -514,7 +517,8 @@ class ShardedEngine:
             return chunked_batch(
                 lambda *x: _bwd_batch(ref, rlp, lrt, qt,
                                       *(jnp.asarray(v) for v in x), offs,
-                                      cfg.max_rule_span, cfg.min_gap_size),
+                                      cfg.max_rule_span, cfg.min_gap_size,
+                                      do_gap=do_gap),
                 [g, a, b, c], fetch=False)
         return self._partitioned(gostart, [gostart, sl, el, tok], run_one,
                                  [((), np.int32)], fetch=fetch)
@@ -533,7 +537,7 @@ class ShardedEngine:
         return self._partitioned(pstart, [pstart, plen, sl, el, tok, stok],
                                  run_one, [((), bool)], fetch=fetch)
 
-    def two(self, pstart, plen, fetch=True):
+    def two(self, pstart, plen, fetch=True, do_gap=True):
         from cgx_tpu.search.lookup import _two_batch
         cfg = self.cfg
 
@@ -542,7 +546,8 @@ class ShardedEngine:
             return chunked_batch(
                 lambda *x: _two_batch(ref, rlp, lrt,
                                       *(jnp.asarray(v) for v in x), offs,
-                                      cfg.max_rule_span, cfg.min_gap_size),
+                                      cfg.max_rule_span, cfg.min_gap_size,
+                                      do_gap=do_gap),
                 [p, q], fetch=False)
         return self._partitioned(pstart, [pstart, plen], run_one,
                                  [((), np.int32)] * 2, fetch=fetch)

@@ -50,13 +50,20 @@ def _prefix_ok(survive):
 # forward / backward aXb occurrence scans (GappyLook.cu:335-470)
 # ---------------------------------------------------------------------------
 
-def _fwd_item(refstr, rlp, lr_tar, mrs, mgs,
+def _fwd_item(refstr, rlp, lr_tar, mrs, mgs, do_gap,
               gostart, sl, el, b0, b1, b2):
     """Forward scan from an occurrence of a: emissions over the move axis.
     ``b0/b1/b2`` are the first three b tokens, resolved by the caller (host
     columns for the replicated engine, qtokens gathers in the sharded
     wrappers) so the kernel itself gathers no query tokens.
-    Returns a packed valid bitmask; str_position is gostart."""
+    Returns a packed valid bitmask; str_position is gostart.
+
+    ``do_gap=False`` skips the target-side gap check (rlp + lr_tar windows,
+    ~33 of the item's ~60 gathered words): the orchestrator re-checks the
+    surviving candidates in a tiny second dispatch (engine.gap_check) —
+    hits are orders of magnitude rarer than scan items, so two-phase
+    filtering halves the dominant gather volume.  ``valid = cand & gc`` with
+    gc independent of the scan state, so the split is exact by construction."""
     moves = jnp.arange(MMOV, dtype=jnp.int32)
     b_first = b0
     gap0_bad = refstr[gostart + sl] < 2
@@ -84,15 +91,17 @@ def _fwd_item(refstr, rlp, lr_tar, mrs, mgs,
     survive = ~bad & ~verify_kill
     reach = _prefix_ok(survive) & span_ok & ~gap0_bad
     cand = reach & ~bad & is_b & verify_ok
-    gc = _gap_check_grow(rlp, lr_tar, gostart + sl, mgs - 1, mrs, True)
-    valid = cand & gc
+    valid = cand
+    if do_gap:
+        gc = _gap_check_grow(rlp, lr_tar, gostart + sl, mgs - 1, mrs, True)
+        valid = cand & gc
     # one packed bitmask per item: emission fields (length) are pure functions
     # of (item, move) and are recomputed on the host — D2H through the relay
     # shrinks from (1+4)*MMOV to 4 bytes per item
     return (jnp.sum(jnp.where(valid, jnp.int32(1) << moves, 0)),)
 
 
-def _bwd_item(refstr, rlp, lr_tar, mrs, mgs,
+def _bwd_item(refstr, rlp, lr_tar, mrs, mgs, do_gap,
               gostart, sl, el, a0, a1, a2):
     """Backward scan from an occurrence of b (GappyLook.cu:397-470).
     ``a0/a1/a2`` are the last three a tokens in reverse order
@@ -122,8 +131,10 @@ def _bwd_item(refstr, rlp, lr_tar, mrs, mgs,
     survive = ~bad & ~verify_kill
     reach = _prefix_ok(survive) & span_ok & ~gap0_bad
     cand = reach & ~bad & is_a & verify_ok
-    gc = _gap_check_grow(rlp, lr_tar, gostart - 1, mgs - 1, mrs, False)
-    valid = cand & gc
+    valid = cand
+    if do_gap:
+        gc = _gap_check_grow(rlp, lr_tar, gostart - 1, mgs - 1, mrs, False)
+        valid = cand & gc
     # packed bitmask; str_position/length recomputed host-side (see _fwd_item)
     return (jnp.sum(jnp.where(valid, jnp.int32(1) << moves, 0)),)
 
@@ -161,20 +172,20 @@ def _qtok_bwd(qtokens, tok, sl):
             qtokens[tok + jnp.maximum(sl - 3, 0)])
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "do_gap"))
 def _fwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, stok,
-               offs, mrs, mgs):
+               offs, mrs, mgs, do_gap=True):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
-    f = functools.partial(_fwd_item, refstr, rlp, lr_tar, mrs, mgs)
+    f = functools.partial(_fwd_item, refstr, rlp, lr_tar, mrs, mgs, do_gap)
     b0, b1, b2 = _qtok_fwd(qtokens, stok)
     return jax.vmap(f)(gostart, sl, el, b0, b1, b2)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "do_gap"))
 def _bwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, tok,
-               offs, mrs, mgs):
+               offs, mrs, mgs, do_gap=True):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
-    f = functools.partial(_bwd_item, refstr, rlp, lr_tar, mrs, mgs)
+    f = functools.partial(_bwd_item, refstr, rlp, lr_tar, mrs, mgs, do_gap)
     a0, a1, a2 = _qtok_bwd(qtokens, tok, sl)
     return jax.vmap(f)(gostart, sl, el, a0, a1, a2)
 
@@ -199,14 +210,14 @@ def _pcs_batch(refstr, qtokens, pstart, plen, sl, el, tok, stok, offs, mrs):
 # gathers cost ~20 gathered words/item).
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd"))
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd", "do_gap"))
 def _scan_batch_cols(refstr, rlp, lr_tar, gostart, sl, el, w0, w1, w2,
-                     offs, mrs, mgs, fwd):
+                     offs, mrs, mgs, fwd, do_gap=True):
     """Forward/backward scans over host-resolved per-item columns; ``w*`` are
     the compared query tokens (b tokens fwd, reversed a tokens bwd)."""
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
     item = _fwd_item if fwd else _bwd_item
-    f = functools.partial(item, refstr, rlp, lr_tar, mrs, mgs)
+    f = functools.partial(item, refstr, rlp, lr_tar, mrs, mgs, do_gap)
     return jax.vmap(f)(gostart, sl, el, w0, w1, w2)
 
 
@@ -260,9 +271,10 @@ def _pcs_batch_exp(refstr, pcrows, pattab, offs_pad, start, pat0, d_real,
                     axis=1, dtype=jnp.uint32),)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd", "n"))
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd", "n",
+                                              "do_gap"))
 def _scan_batch_exp(refstr, rlp, lr_tar, sa, pattab, offs_pad, start, pat0,
-                    d_real, offs, mrs, mgs, fwd, n):
+                    d_real, offs, mrs, mgs, fwd, n, do_gap=True):
     """Forward/backward scans with on-device item expansion: per item one
     cumsum-expand word (tx), one [8]-row gather of per-pattern fields
     (SA-range lo, sl, el, the three pre-resolved query tokens), one gather of
@@ -276,7 +288,7 @@ def _scan_batch_exp(refstr, rlp, lr_tar, sa, pattab, offs_pad, start, pat0,
     row = jnp.clip(f[:, 0] + tx, 0, sa.shape[0] - 1)
     gostart = sa[row]
     item = _fwd_item if fwd else _bwd_item
-    ff = functools.partial(item, refstr, rlp, lr_tar, mrs, mgs)
+    ff = functools.partial(item, refstr, rlp, lr_tar, mrs, mgs, do_gap)
     return jax.vmap(ff)(gostart, f[:, 1], f[:, 2], f[:, 3], f[:, 4], f[:, 5])
 
 
@@ -355,6 +367,13 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
     if par:
         from cgx_tpu.utils.batching import compile_pool
         pool = compile_pool()
+    # two-phase gap filtering: the scans emit candidates WITHOUT the
+    # target-side gap check (cuts the rlp/lr_tar windows, ~33 of ~60 gathered
+    # words/item, from the dominant gather volume); the surviving hits —
+    # orders of magnitude rarer — re-check in a tiny second dispatch below.
+    # CGX_FUSED_GAPCHECK=1 restores the fused single-pass kernels (A/B).
+    import os
+    fused = bool(os.environ.get("CGX_FUSED_GAPCHECK"))
     seed_ids = np.flatnonzero(pc_seed)
     pcs_job = None
     if len(seed_ids):
@@ -374,7 +393,8 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
         side = (stok_all if fwd else tok_all)[ids]
         disp = (lambda fwd=fwd, lo=lo, counts=counts, ids=ids, side=side:
                 engine.scan_expanded(queries, fwd, lo, counts, sl_all[ids],
-                                     el_all[ids], side, fetch=False))
+                                     el_all[ids], side, fetch=False,
+                                     do_gap=fused))
         scan_jobs.append((fwd, ids, lo, counts,
                           pool.submit(disp) if par else disp()))
     mk.mark("dispatch")
@@ -395,6 +415,7 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
             rows_parts.append(np.stack([pat, spos, length], axis=1))
         mk.mark("pcs_post")
 
+    hit_parts = []
     for fwd, ids, lo, counts, pend in scan_jobs:
         if par:
             pend = pend.result()
@@ -405,6 +426,25 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
             continue
         pat, tx, pi = expand_hits(ii, counts, ids)
         gostart = engine.sa_values(lo[pi] + tx).astype(np.int64)
+        if fused:
+            gcp = None
+        else:
+            # phase B: gap-check only the candidate hits (engine.gap_check
+            # evaluates all MMOV moves of each anchor; select each hit's own
+            # move below).  anchor chosen so _gc_batch's anchor+-1 lands on
+            # the kernels' fixed position (gostart+sl fwd / gostart-1 bwd).
+            anchor = gostart + sl_all[pat] - 1 if fwd else gostart
+            gcp = engine.gap_check(anchor, fwd, fetch=False)
+        hit_parts.append((fwd, pat, mm, gostart, gcp))
+
+    for fwd, pat, mm, gostart, gcp in hit_parts:
+        if gcp is not None:
+            (gc,) = gcp.get()
+            keep = np.asarray(gc, bool)[np.arange(len(mm)), mm]
+            mk.mark(f"gc_fetch[{len(mm)}->{int(keep.sum())}]")
+            pat, mm, gostart = pat[keep], mm[keep], gostart[keep]
+            if not len(pat):
+                continue
         if fwd:
             length = sl_all[pat] + mgs + mm + el_all[pat] - 1
             rows_parts.append(np.stack([pat, gostart, length], axis=1))
@@ -443,9 +483,12 @@ def _fill_salist(start_arr, end_arr, positions):
 # twoGapLookUpSA: extend each aXb core to the right looking for c
 # ---------------------------------------------------------------------------
 
-def _two_item(refstr, rlp, lr_tar, mrs, mgs, pstart, plen):
+def _two_item(refstr, rlp, lr_tar, mrs, mgs, do_gap, pstart, plen):
     """Scan one aXb core rightward once; the per-pattern c-token test is hoisted
-    to the host (every 2-gap pattern sharing the core sees the same scan)."""
+    to the host (every 2-gap pattern sharing the core sees the same scan).
+    ``do_gap=False`` skips the target-side gap check (the gc half of the
+    result is zeros); the orchestrator gap-checks the resolved hits in a tiny
+    second dispatch — see _fwd_item."""
     moves = jnp.arange(MMOV, dtype=jnp.int32)
     gostart = pstart + plen
     gap0_bad = refstr[gostart + mgs] < 2
@@ -456,34 +499,39 @@ def _two_item(refstr, rlp, lr_tar, mrs, mgs, pstart, plen):
     survive = ~bad & ~span_kill
     reach = _prefix_ok(survive) & ~gap0_bad
     cand = reach & ~span_kill & ~bad
-    gc = _gap_check_grow(rlp, lr_tar, pstart + plen + 1, mgs - 1, mrs,
-                         True)
+    if do_gap:
+        gc = _gap_check_grow(rlp, lr_tar, pstart + plen + 1, mgs - 1, mrs,
+                             True)
+        gcw = jnp.sum(jnp.where(gc, jnp.int32(1) << moves, 0))
+    else:
+        gcw = jnp.int32(0)
     # two packed bitmasks; the scanned c-token and length2 are recomputed on
     # the host (temp = corpus[pos] at cand hits, pos a pure item function)
-    return (jnp.sum(jnp.where(cand, jnp.int32(1) << moves, 0)),
-            jnp.sum(jnp.where(gc, jnp.int32(1) << moves, 0)))
+    return (jnp.sum(jnp.where(cand, jnp.int32(1) << moves, 0)), gcw)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
-def _two_batch(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs):
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "do_gap"))
+def _two_batch(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs,
+               do_gap=True):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
-    f = functools.partial(_two_item, refstr, rlp, lr_tar, mrs, mgs)
+    f = functools.partial(_two_item, refstr, rlp, lr_tar, mrs, mgs, do_gap)
     return jax.vmap(f)(pstart, plen)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs"))
-def _two_batch_packed(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs):
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "do_gap"))
+def _two_batch_packed(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs,
+                      do_gap=True):
     """_two_batch with both masks in one word (cand low 16, gc high 16):
     halves the D2H bytes per item through the relay."""
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
-    f = functools.partial(_two_item, refstr, rlp, lr_tar, mrs, mgs)
+    f = functools.partial(_two_item, refstr, rlp, lr_tar, mrs, mgs, do_gap)
     cand, gc = jax.vmap(f)(pstart, plen)
     return (cand.astype(jnp.uint32) | (gc.astype(jnp.uint32) << 16),)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "n"))
+@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "n", "do_gap"))
 def _two_batch_exp(refstr, rlp, lr_tar, ogrows, pcrows, pattab, offs_pad,
-                   start, pat0, d_real, offs, mrs, mgs, n):
+                   start, pat0, d_real, offs, mrs, mgs, n, do_gap=True):
     """_two_batch_packed with on-device item expansion: per item one
     cumsum-expand word, one [2]-row gather of per-pattern fields (occurrence
     row base, pcmode), and one [2]-row gather of the (start, len) occurrence
@@ -498,7 +546,7 @@ def _two_batch_exp(refstr, rlp, lr_tar, ogrows, pcrows, pattab, offs_pad,
     pcr = pcrows[jnp.clip(row, 0, pcrows.shape[0] - 1)]
     pcm = (f[:, 1] > 0)[:, None]
     sel = jnp.where(pcm, pcr, ogr)               # [n, 2] (start, len)
-    ff = functools.partial(_two_item, refstr, rlp, lr_tar, mrs, mgs)
+    ff = functools.partial(_two_item, refstr, rlp, lr_tar, mrs, mgs, do_gap)
     cand, gc = jax.vmap(ff)(sel[:, 0], sel[:, 1])
     return (cand.astype(jnp.uint32) | (gc.astype(jnp.uint32) << 16),)
 
@@ -542,9 +590,11 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
     if D2 == 0 or counts.sum() == 0:
         return GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
     from cgx_tpu.utils.timing import StageMarks
+    import os
     mk = StageMarks("lookup2")
+    fused = bool(os.environ.get("CGX_FUSED_GAPCHECK"))
     cand_mask, gc_mask = engine.two_expanded(onegap_sa, pc, lo, counts,
-                                             pcmode)
+                                             pcmode, do_gap=fused)
     mk.mark(f"scan[{int(counts.sum())}]")
     # sorted (oneId, c-token) -> twoId table; distinct patterns are unique pairs
     ctok = np.asarray(queries.tokens)[search2.gap2].astype(np.int64)
@@ -575,7 +625,17 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
     ki = np.searchsorted(keys_sorted, want)
     found = (ki < len(keys_sorted)) & \
         (keys_sorted[np.minimum(ki, len(keys_sorted) - 1)] == want)
-    hit = found & (((gc_mask[ii].astype(np.int64) >> mm) & 1) == 1)
+    if fused:
+        hit = found & (((gc_mask[ii].astype(np.int64) >> mm) & 1) == 1)
+    else:
+        # phase B: gap-check only the c-token-resolved hits (fixed position
+        # of the kernel's check is css+fes+1 => pass css+fes, see _gc_batch)
+        hit = found.copy()
+        idx = np.flatnonzero(found)
+        if len(idx):
+            (gc2,) = engine.gap_check((css + fes)[idx], True, fetch=True)
+            hit[idx] &= np.asarray(gc2, bool)[np.arange(len(idx)), mm[idx]]
+        mk.mark(f"gc_fetch[{len(idx)}->{int(hit.sum())}]")
     two_id = korder[np.minimum(ki, len(korder) - 1)][hit]
     length2 = fes + 1 + mgs + mm
     rows = np.stack([two_id, css[hit], fes[hit],

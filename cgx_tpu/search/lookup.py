@@ -30,6 +30,19 @@ from cgx_tpu.utils.views import make_views
 MMOV = 16  # static move-axis width; real moves bounded by max_rule_span - 2
 
 
+FUSE_BELOW = 262_144   # scan items under which fused gap checks win (RTT-bound)
+
+
+def _fused_gapcheck(n_items: int) -> bool:
+    """Fused vs two-phase gap-check policy: CGX_FUSED_GAPCHECK=1/0 forces it,
+    else fuse below FUSE_BELOW items (see one_gap_lookup_tpu)."""
+    import os
+    env = os.environ.get("CGX_FUSED_GAPCHECK")
+    if env is not None and env != "":
+        return env != "0"
+    return n_items < FUSE_BELOW
+
+
 def _mask_hits(mask, nbits=MMOV):
     """(item, move) indices of the set bits of a packed per-item bitmask —
     np.unpackbits over the little-endian byte view (one byte-wide pass)
@@ -371,9 +384,13 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
     # target-side gap check (cuts the rlp/lr_tar windows, ~33 of ~60 gathered
     # words/item, from the dominant gather volume); the surviving hits —
     # orders of magnitude rarer — re-check in a tiny second dispatch below.
-    # CGX_FUSED_GAPCHECK=1 restores the fused single-pass kernels (A/B).
-    import os
-    fused = bool(os.environ.get("CGX_FUSED_GAPCHECK"))
+    # Below FUSE_BELOW total scan items the device saving (~0.4us/item at the
+    # chip gather rate) is smaller than the second dispatch's relay round
+    # trips, so small batches keep the fused kernels.  CGX_FUSED_GAPCHECK=1/0
+    # forces fused/two-phase (A/B).
+    n_scan_total = int((np.minimum(dis1, dis2) + 1)
+                       .clip(min=0)[~has_pc].sum())
+    fused = _fused_gapcheck(n_scan_total)
     seed_ids = np.flatnonzero(pc_seed)
     pcs_job = None
     if len(seed_ids):
@@ -590,9 +607,8 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
     if D2 == 0 or counts.sum() == 0:
         return GapOnSA(*(np.empty(0, np.int32) for _ in range(4)))
     from cgx_tpu.utils.timing import StageMarks
-    import os
     mk = StageMarks("lookup2")
-    fused = bool(os.environ.get("CGX_FUSED_GAPCHECK"))
+    fused = _fused_gapcheck(int(counts.sum()))
     cand_mask, gc_mask = engine.two_expanded(onegap_sa, pc, lo, counts,
                                              pcmode, do_gap=fused)
     mk.mark(f"scan[{int(counts.sum())}]")

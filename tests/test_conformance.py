@@ -33,6 +33,20 @@ def test_pipeline_matches_oracle_byte_identical(toy_fixture, sample):
             f"tpu:    {next(b for a, b in zip(lo, lt) if a != b)}")
 
 
+@pytest.mark.parametrize("mode", ["0", "1"])
+def test_pipeline_gapcheck_modes_match_oracle(toy_fixture, monkeypatch, mode):
+    """Force BOTH gap-check policies (two-phase and fused) on the toy corpus:
+    the volume heuristic (search.lookup._fused_gapcheck) would otherwise keep
+    small fixtures on the fused path, leaving the production two-phase split
+    (big batches) untested."""
+    monkeypatch.setenv("CGX_FUSED_GAPCHECK", mode)
+    cfg = ExtractorConfig(precompute_count=30)
+    args = _inputs(toy_fixture)
+    o = opl.run_oracle(*args, cfg)
+    t = tpl.run_pipeline(*args, cfg)
+    assert o.per_query_lines == t.per_query_lines
+
+
 def test_pipeline_matches_oracle_on_adversarial_corpus():
     """Non-monotone alignments, 1:N/N:1 fan-out, ~30% unaligned
     (tools.make_bigcorpus.make_hard_corpus): the consistency-check kill paths

@@ -141,7 +141,7 @@ def main(argv=None) -> int:
             f_text, e_text, cp.read_lines(args.alignfile),
             cp.read_tokens(args.lexfile), cp.read_lines(args.qryfile),
             args.dest_dir, cfg, index_dir=args.index_dir,
-            sa_shards=args.sa_shards)
+            sa_shards=args.sa_shards, dp_devices=args.dp_devices)
         print(f"multihost: process {args.process_id}: queries [{lo}, {hi}) "
               f"done; {total} grammar lines globally", file=sys.stderr)
     elif args.engine == "oracle":

@@ -113,13 +113,25 @@ def _phase_max_allgather(timing):
 
 
 def run_multihost(f_lines, e_lines, a_lines, lex_tokens, q_lines, dest_dir,
-                  cfg, index_dir=None, sa_shards: int = 0):
+                  cfg, index_dir=None, sa_shards: int = 0,
+                  dp_devices: int = 0):
     """Run the pipeline on this host's query shard; writes this host's grammar
     files with their global query indices.  Returns (lo, hi, PipelineResult,
-    global_line_count)."""
+    global_line_count).
+
+    ``dp_devices > 1`` composes multi-host query sharding with single-process
+    local DP: each process drives its M LOCAL devices through
+    ``LocalDPEngine`` (``jax.local_devices()`` is per-process under
+    ``jax.distributed``) while the query file splits across processes — the
+    natural N-host x M-chip slice deployment with ONE process per host,
+    paying interpreter + index + program-cache fixed cost once per host
+    instead of once per chip.  Mutually exclusive with the composed sharded
+    mode (replicated-per-device vs sharded index)."""
     from cgx_tpu import pipeline as tpl
 
     composed = sa_shards > 0 and jax.process_count() > 1
+    if composed and dp_devices:
+        raise ValueError("sa_shards and dp_devices are mutually exclusive")
     if index_dir and jax.process_index() != 0 and not composed:
         # composed mode builds in lockstep instead (collective build kernels)
         _wait_for_artifact(index_dir)
@@ -128,7 +140,7 @@ def run_multihost(f_lines, e_lines, a_lines, lex_tokens, q_lines, dest_dir,
     run_q = q_lines if composed else q_lines[lo:hi]
     res = tpl.run_pipeline(f_lines, e_lines, a_lines, lex_tokens,
                            run_q, cfg, index_dir=index_dir,
-                           sa_shards=sa_shards)
+                           sa_shards=sa_shards, dp_devices=dp_devices)
     os.makedirs(dest_dir, exist_ok=True)
     suffix = "s" if cfg.is_sample else "n"
     for q_global in range(lo, hi):

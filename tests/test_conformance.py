@@ -156,3 +156,57 @@ def test_golden_toy_hashes(toy_fixture):
     for q, lines in enumerate(res.per_query_lines):
         h = hashlib.sha256(("\n".join(lines) + "\n").encode()).hexdigest()
         assert h == golden["sha256"][str(q)], f"query {q} grammar drifted"
+
+
+def test_deep_match_verbatim_queries():
+    """Queries that quote a long corpus sentence VERBATIM drive the
+    refinement search to depth ~ sentence length (the adversarial corpus
+    stresses alignments, not match depth — VERDICT r4 weak #5): the pipeline
+    must stay byte-identical to the oracle, and the refinement driver's host
+    footprint must stay O(computed intervals) (sparse per-chunk records), not
+    O(n_tokens x reached_depth)."""
+    rng = np.random.default_rng(5)
+    vocab = 300
+    sents = []
+    for i in range(60):
+        L = 250 if i == 0 else int(rng.integers(4, 12))
+        sents.append(rng.integers(0, vocab, size=L))
+    f_lines = [" ".join(f"f{t}" for t in s) for s in sents]
+    e_lines = [" ".join(f"e{t}" for t in s) for s in sents]
+    a_lines = [" ".join(f"{j}-{j}" for j in range(len(s))) for s in sents]
+    used = sorted({int(t) for s in sents for t in s})
+    lex_tokens = []
+    for t in used:
+        lex_tokens += [f"f{t}", f"e{t}", "0.9000000", "0.9000000"]
+    # one 250-token verbatim quote in a batch of ordinary short queries (the
+    # realistic shape: most lanes die shallow, a few go to sentence depth)
+    q_lines = [f_lines[0]] + f_lines[5:55]
+    cfg = ExtractorConfig(precompute_count=20)
+    args = (f_lines, e_lines, a_lines, lex_tokens, q_lines)
+    o = opl.run_oracle(*args, cfg)
+    t = tpl.run_pipeline(*args, cfg)
+    assert o.per_query_lines == t.per_query_lines
+    assert sum(len(x) for x in t.per_query_lines) > 0
+
+    # the refinement driver's record footprint: sparse vs the dense stack
+    from cgx_tpu.preproc import suffix_array as sab
+    from cgx_tpu.index import container as ic
+    from cgx_tpu.search import passes
+    src = cp.load_source_corpus(f_lines)
+    tgt = cp.load_target_corpus(e_lines)
+    al = cp.load_alignment(a_lines, src, tgt)
+    lex = cp.load_lex_table(lex_tokens, src.vocab, tgt.vocab)
+    sa = sab.build_index(src.str_)
+    idx = ic.build_index(src, tgt, sa, al, lex, cfg)
+    qs = cp.load_queries(q_lines, src.vocab)
+    stats = {}
+    p1, p2 = passes.refine_passes(idx, qs, stats=stats)
+    assert int(p1.longestmatch.max()) >= 250       # the quote matched in full
+    assert stats["max_depth"] >= 248
+    n = qs.totaltokens
+    items = len(p2.up)
+    # each lane stores <= lm + chunk-overshoot intervals (x2 for up/down);
+    # the old dense accumulation stored 2 * n * max_depth words
+    assert stats["interval_words"] <= 2 * (2 * n + items
+                                           + (passes.DEPTH_CHUNK_DEEP + 4) * n)
+    assert stats["interval_words"] < 2 * n * stats["max_depth"] / 4

@@ -68,10 +68,14 @@ def test_passes_bit_equal_across_dp(world):
     assert p1_d.longestmatch.max() > 1   # the fixture exercises pass 2
 
 
-@pytest.mark.parametrize("n_dev", [2, 3])
-def test_localdp_pipeline_byte_identical(world, n_dev):
+@pytest.mark.parametrize("n_dev,gapcheck",
+                         [(2, "fused"), (2, "two-phase"), (3, "fused")])
+def test_localdp_pipeline_byte_identical(world, monkeypatch, n_dev, gapcheck):
     """dp=2 (even) and dp=3 (uneven splits) both reproduce the single-device
-    grammars exactly."""
+    grammars exactly; the forced two-phase case keeps CI coverage on
+    LocalDPEngine.gap_check (the default policy fuses at toy item counts)."""
+    monkeypatch.setenv("CGX_FUSED_GAPCHECK",
+                       "1" if gapcheck == "fused" else "0")
     cfg = world["cfg"]
     f, e, a, lex, q = world["data"]
     rep = tpl.run_pipeline(f, e, a, lex, q, cfg)

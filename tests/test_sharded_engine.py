@@ -59,7 +59,13 @@ def test_refinement_passes_bit_equal(world):
     assert p1_s.longestmatch.max() > 1   # the fixture exercises pass 2
 
 
-def test_sharded_pipeline_byte_identical(world):
+@pytest.mark.parametrize("gapcheck", ["fused", "two-phase"])
+def test_sharded_pipeline_byte_identical(world, monkeypatch, gapcheck):
+    # "two-phase" forces the production large-volume policy so
+    # ShardedEngine.gap_check on the query-path anchors keeps CI coverage
+    # (the default fuses on toy-scale item counts)
+    monkeypatch.setenv("CGX_FUSED_GAPCHECK",
+                       "1" if gapcheck == "fused" else "0")
     cfg = world["cfg"]
     f, e, a, lex, q = world["data"]
     rep = tpl.run_pipeline(f, e, a, lex, q, cfg)

@@ -49,7 +49,7 @@ class GrammarIndex:
     # set by parallel.localdp when it replicates the index per device
     device: object = None
     # host seed tables for the refinement search (passes.build_seed_tables):
-    # (seed_lo1, seed_hi1, seed_pk) — answer refinement depths 0-1 on host
+    # (seed_lo1, seed_hi1, seed_pk, seed_pk3) — answer depths 0-2 on host
     seed_host: tuple = None
 
     def seed_tables(self):

@@ -90,14 +90,17 @@ class ShardedGrammarIndex:
     tgt_off: np.ndarray  # int64 [S] global index of lrt_l[s][0]
     rmeta: jax.Array     # int32 [S, 1, 2] (rank_start, rank_count), sharded
     smeta: jax.Array     # int32 [S, 1, 3] (src_off, own_lo, own_hi), sharded
-    # host-side seed tables answering refinement depths 0-1 without any device
+    # host-side seed tables answering refinement depths 0-2 without any device
     # dispatch (VERDICT r3 #3 — the top of the SA tree is tiny and replicable):
     # refstr[sa] is nondecreasing, so depth-1 intervals are bucket boundaries
     # (exclusive bincount cumsum); packed (first << 32 | second) keys are
-    # globally sorted, so depth-2 intervals are one vectorized searchsorted.
+    # globally sorted, so depth-2 intervals are one vectorized searchsorted,
+    # and packed 21-bit trigram keys extend it to depth 3 (id space
+    # permitting) so the device ladder starts at depth 3.
     seed_lo1: np.ndarray = None    # int64 [maxtok+2] bucket starts
     seed_hi1: np.ndarray = None    # int64 [maxtok+2] bucket ends
     seed_pk: np.ndarray = None     # int64 [reflen] packed depth-2 keys
+    seed_pk3: np.ndarray = None    # int64 [reflen] packed depth-3 keys (opt)
     # per-shard device-local handles (populated lazily)
     _shards: dict = dataclasses.field(default_factory=dict)
 
@@ -218,8 +221,8 @@ def build_sharded_index(source, target, sa, align, cfg: ExtractorConfig,
     sa_np = np.asarray(sa.sa, dtype=np.int32)
     sa_l = sa_np[np.clip(rcols, 0, reflen - 1)]
 
-    # ---- host seed tables for refinement depths 0-1 (no device dispatch)
-    seed_lo1, seed_hi1, seed_pk = passes.build_seed_tables(
+    # ---- host seed tables for refinement depths 0-2 (no device dispatch)
+    seed_lo1, seed_hi1, seed_pk, seed_pk3 = passes.build_seed_tables(
         refstr_padded, sa_np.astype(np.int64))
 
     shard = NamedSharding(mesh, P("sa"))
@@ -246,7 +249,8 @@ def build_sharded_index(source, target, sa, align, cfg: ExtractorConfig,
         src_off=src_off, tgt_off=tgt_lo,
         rmeta=dput(rmeta),
         smeta=dput(smeta),
-        seed_lo1=seed_lo1, seed_hi1=seed_hi1, seed_pk=seed_pk)
+        seed_lo1=seed_lo1, seed_hi1=seed_hi1, seed_pk=seed_pk,
+        seed_pk3=seed_pk3)
 
 
 # ---------------------------------------------------------------------------
@@ -358,7 +362,8 @@ def sharded_passes(sidx: ShardedGrammarIndex, queries):
             mesh=sidx.mesh, depths=dchunk)
 
     return passes.drive_refinement(
-        queries, sidx.reflen, (sidx.seed_lo1, sidx.seed_hi1, sidx.seed_pk),
+        queries, sidx.reflen,
+        (sidx.seed_lo1, sidx.seed_hi1, sidx.seed_pk, sidx.seed_pk3),
         dispatch)
 
 

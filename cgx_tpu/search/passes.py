@@ -286,9 +286,9 @@ def pass2_tpu(index, queries, p1: Pass1Result) -> Pass2Result:
 # sub-interval of its length-L interval, and within that interval the
 # (L+1)-th suffix tokens are sorted — so each depth needs only two integer
 # lower-bound searches over single-token reads ``refstr[sa[M] + L]``.  Depths
-# 0-1 are answered from host seed tables (``build_seed_tables``) with no
-# device dispatch at all; the device ladder starts at depth 2 from a tight
-# bracket.  Semantically equal to the transplanted LCP search
+# 0-2 are answered from host seed tables (``build_seed_tables``; depth 2 via
+# packed 21-bit trigram keys when the id space fits) with no device dispatch
+# at all; the device ladder starts at depth 3 from a tight bracket.  Semantically equal to the transplanted LCP search
 # (pass1_tpu/pass2_tpu, kept as the CGX_LCP_PASSES=1 A/B path) — enforced by
 # the byte-identity suite — but with far fewer sequential device steps on
 # large corpora (the LCP search's lockstep compare loops scale with corpus
@@ -304,25 +304,41 @@ DEPTH_CHUNK_DEEP = 16
 DEPTH_LADDER_SWITCH = 6   # switch to deep chunks once depth >= this
 
 
+# trigram seed packing budget: 3 x 21-bit token ids per int64 key.  Corpora
+# whose id space (incl. the sentinel) exceeds this skip the depth-3 table and
+# start the device ladder at depth 2 as before.
+SEED3_MAX_TOKEN = 1 << 21
+
+
 def build_seed_tables(refstr_padded: np.ndarray, sa_np: np.ndarray):
-    """Host seed tables answering refinement depths 0-1: refstr[sa] is
+    """Host seed tables answering refinement depths 0-2: refstr[sa] is
     nondecreasing, so depth-1 intervals are bucket boundaries (exclusive
     bincount cumsum); packed (first << 32 | second) keys are globally sorted,
-    so depth-2 intervals are one vectorized searchsorted."""
+    so depth-2 intervals are one vectorized searchsorted; packed 21-bit
+    trigram keys extend the same argument to depth 3 (id space permitting),
+    so the device ladder starts at depth 3 with sl <= 3 lanes never
+    dispatching at all."""
     first = refstr_padded[sa_np].astype(np.int64)      # nondecreasing
     second = refstr_padded[sa_np + 1].astype(np.int64)
     seed_pk = (first << 32) | second                   # globally sorted
     counts1 = np.bincount(first, minlength=int(first[-1]) + 2)
     seed_hi1 = np.cumsum(counts1, dtype=np.int64)
     seed_lo1 = seed_hi1 - counts1
-    return seed_lo1, seed_hi1, seed_pk
+    seed_pk3 = None
+    if int(first[-1]) < SEED3_MAX_TOKEN:   # first[-1] = the sentinel (max id)
+        third = refstr_padded[sa_np + 2].astype(np.int64)
+        seed_pk3 = (first << 42) | (second << 21) | third
+    return seed_lo1, seed_hi1, seed_pk, seed_pk3
 
 
-def seed_intervals(seed_lo1, seed_hi1, seed_pk, reflen, v0, v1, sls):
-    """Depth-0/1 refinement intervals from the host seed tables — bit-equal
-    to what the device refinement would compute at depths 0 and 1 (including
+def seed_intervals(seed_lo1, seed_hi1, seed_pk, seed_pk3, reflen,
+                   v0, v1, v2, sls):
+    """Depth-0/1/2 refinement intervals from the host seed tables — bit-equal
+    to what the device refinement would compute at those depths (including
     the empty-interval representations for OOV / absent / past-query-end
-    lanes), with zero device dispatch."""
+    lanes: an exhausted lane collapses to [prev_lo, prev_lo), exactly the
+    device lane's two lower-bound results), with zero device dispatch.
+    The depth-3 pair is (None, None) when the trigram table is absent."""
     nv = len(seed_lo1) - 1
     ok0 = (v0 >= 0) & (v0 < nv)
     v0c = np.clip(v0, 0, nv - 1)
@@ -335,8 +351,19 @@ def seed_intervals(seed_lo1, seed_hi1, seed_pk, reflen, v0, v1, sls):
     ext = ok0 & (sls >= 2) & (hi1 > lo1) & (v1 >= 0)
     lo2 = np.where(ext, np.searchsorted(seed_pk, key, side="left"), lo1)
     hi2 = np.where(ext, np.searchsorted(seed_pk, key, side="right"), lo1)
+    if seed_pk3 is None:
+        lo3 = hi3 = None
+    else:
+        key3 = (v0c.astype(np.int64) << 42) \
+            | (np.clip(v1, 0, None).astype(np.int64) << 21) \
+            | np.clip(v2, 0, None).astype(np.int64)
+        ext3 = ext & (sls >= 3) & (hi2 > lo2) & (v2 >= 0)
+        lo3 = np.where(ext3, np.searchsorted(seed_pk3, key3, side="left"),
+                       lo2).astype(np.int32)
+        hi3 = np.where(ext3, np.searchsorted(seed_pk3, key3, side="right"),
+                       lo2).astype(np.int32)
     return (lo1.astype(np.int32), hi1.astype(np.int32),
-            lo2.astype(np.int32), hi2.astype(np.int32))
+            lo2.astype(np.int32), hi2.astype(np.int32), lo3, hi3)
 
 
 @functools.partial(jax.jit, static_argnames=("depths",))
@@ -379,7 +406,8 @@ def _refine_chunk_local(sa, refstr, qtok, toks, sls, lo, hi, d0, *, depths):
 def drive_refinement(queries, reflen, seed, dispatch, stats: dict = None):
     """Shared pass-1/2 driver over a refinement dispatcher.
 
-    ``seed``: (seed_lo1, seed_hi1, seed_pk) host tables.
+    ``seed``: (seed_lo1, seed_hi1, seed_pk, seed_pk3) host tables
+    (``seed_pk3`` may be None — build_seed_tables).
     ``dispatch(toks_p, sls_p, lo_p, hi_p, depth, dchunk)`` runs ``dchunk``
     refinement levels on device and returns (ups, downs, lo2, hi2) as
     jax arrays [len(toks_p), dchunk] / [len(toks_p)].
@@ -396,12 +424,15 @@ def drive_refinement(queries, reflen, seed, dispatch, stats: dict = None):
     sls = ends - toks
     qtok_host = np.asarray(queries.padded_tokens())
 
-    # depths 0-1 answered on host (seed tables), ladder starts at depth 2
+    # depths 0-2 answered on host (seed tables), ladder starts at depth 3
+    # (depth 2 when the corpus id space exceeds the trigram packing budget)
+    has3 = seed[3] is not None
     if n:
-        lo1, hi1, lo2, hi2 = seed_intervals(
-            *seed, reflen, qtok_host[toks], qtok_host[toks + 1], sls)
+        lo1, hi1, lo2, hi2, lo3, hi3 = seed_intervals(
+            *seed, reflen, qtok_host[toks], qtok_host[toks + 1],
+            qtok_host[toks + 2], sls)
     else:
-        lo1 = hi1 = lo2 = hi2 = np.zeros(0, np.int32)
+        lo1 = hi1 = lo2 = hi2 = lo3 = hi3 = np.zeros(0, np.int32)
     # Sparse per-chunk records (d0_1indexed, idx-or-None, ups, downs): each
     # chunk stores intervals only for its ALIVE lanes, so host memory is
     # O(total intervals computed) = O(pass-2 items + n), not
@@ -410,9 +441,16 @@ def drive_refinement(queries, reflen, seed, dispatch, stats: dict = None):
     # (VERDICT r4 weak #5; deep-match stress in tests/test_conformance.py).
     records = [(1, None, lo1.reshape(-1, 1), (hi1 - 1).reshape(-1, 1)),
                (2, None, lo2.reshape(-1, 1), (hi2 - 1).reshape(-1, 1))]
-    lo, hi = lo2.copy(), hi2.copy()
-    alive = (hi > lo) & (sls > 2)   # sl==2 lanes are fully answered by the seed
-    depth = 2
+    if has3:
+        records.append((3, None, lo3.reshape(-1, 1),
+                        (hi3 - 1).reshape(-1, 1)))
+        lo, hi = lo3.copy(), hi3.copy()
+        depth = 3
+    else:
+        lo, hi = lo2.copy(), hi2.copy()
+        depth = 2
+    # lanes with sl <= seeded depth are fully answered by the seed tables
+    alive = (hi > lo) & (sls > depth)
     max_depth = int(sls.max()) if n else 0
     while alive.any() and depth < max_depth:
         dchunk = DEPTH_CHUNK if depth < DEPTH_LADDER_SWITCH \

@@ -35,18 +35,22 @@ from cgx_tpu.config import DEFAULT_CONFIG
 
 def serve_loop(reffile, tarfile, alignfile, lexfile, cfg=DEFAULT_CONFIG,
                index_dir=None, sa_shards: int = 0, dp_devices: int = 0,
-               inp=None, out=None, prewarm="auto"):
+               inp=None, out=None, prewarm="auto", prewarm_queries: int = 16):
     """Run the serve protocol over ``inp``/``out`` streams (stdin/stdout by
     default).  Returns the number of requests served.
 
     ``prewarm`` names a query file run through the full engine (output
     discarded) BEFORE ``ready`` is printed, so the first real request does
     not pay the first-touch compiled-program loads.  The default ``"auto"``
-    synthesizes a small batch from the corpus's own sentences (always
-    in-vocab), which warms the common dispatch programs; deployments with
-    large batches should pass a representative file so the bigger pow2
-    chunk shapes (utils.batching.chunk_plan) get compiled too.  ``None``
-    disables prewarming."""
+    synthesizes a batch of ``prewarm_queries`` queries from the corpus's own
+    sentences (always in-vocab), which warms the dispatch programs that
+    batch size reaches; the prewarm run's first-touch loads go through the
+    shared compile pool (utils.batching), so distinct programs load
+    CONCURRENTLY.  Deployments with large batches should set
+    ``prewarm_queries`` (or pass a representative file) to their production
+    batch size so the exact pow2 chunk-shape ladder
+    (utils.batching.chunk_plan) compiles up front rather than on request 1.
+    ``None`` disables prewarming."""
     from cgx_tpu import pipeline as tpl
     from cgx_tpu.preproc import corpus as cp
     from cgx_tpu.grammar import writer as gw
@@ -71,7 +75,9 @@ def serve_loop(reffile, tarfile, alignfile, lexfile, cfg=DEFAULT_CONFIG,
         # already reported inline — treat prewarm failures the same way
         try:
             if prewarm == "auto":
-                q_lines = [ln for ln in f_text.split("\n") if ln.strip()][:16]
+                sents = [ln for ln in f_text.split("\n") if ln.strip()]
+                reps = -(-max(prewarm_queries, 1) // max(len(sents), 1))
+                q_lines = (sents * reps)[:prewarm_queries]
             else:
                 q_lines = cp.read_lines(prewarm)
             wq = cp.load_queries(q_lines, art.source.vocab)
@@ -129,13 +135,18 @@ def main(argv=None) -> int:
                         "synthesized from the corpus's own sentences)")
     p.add_argument("--no-prewarm", action="store_true",
                    help="disable the default prewarm batch")
+    p.add_argument("--prewarm-queries", type=int, default=16, metavar="N",
+                   help="auto-prewarm batch size; set to the production "
+                        "batch size so its exact pow2 dispatch-chunk ladder "
+                        "compiles (concurrently) before 'ready'")
     args = p.parse_args(argv)
     import dataclasses
     cfg = dataclasses.replace(DEFAULT_CONFIG, is_sample=not args.no_sample)
     serve_loop(args.reffile, args.reftargetfile, args.alignfile, args.lexfile,
                cfg, index_dir=args.index_dir, sa_shards=args.sa_shards,
                dp_devices=args.dp_devices,
-               prewarm=None if args.no_prewarm else args.prewarm)
+               prewarm=None if args.no_prewarm else args.prewarm,
+               prewarm_queries=args.prewarm_queries)
     return 0
 
 

@@ -164,10 +164,14 @@ def _bwd_item(refstr, rlp, lr_tar, mrs, mgs, do_gap,
     moves = jnp.arange(MMOV, dtype=jnp.int32)
     a_last = a0
     gap0_bad = refstr[jnp.maximum(gostart - 1, 0)] < 2
-    # one reversed (MMOV+2)-wide window serves the scan and both verify shifts
-    wpos = gostart - 1 - mgs - jnp.arange(MMOV + 2, dtype=jnp.int32)
-    win = jnp.where(wpos < 0, jnp.int32(-1),
-                    refstr[jnp.maximum(wpos, 0)])
+    # one reversed (MMOV+2)-wide window serves the scan and both verify
+    # shifts.  Gather ASCENDING positions and flip the static vector on
+    # register: descending index vectors defeat XLA:TPU's window-gather
+    # lowering (measured ~10x slower than the fwd scan at 4.5M items).
+    asc = gostart - 1 - mgs - jnp.int32(MMOV + 1) \
+        + jnp.arange(MMOV + 2, dtype=jnp.int32)
+    win = jnp.where(asc < 0, jnp.int32(-1),
+                    refstr[jnp.maximum(asc, 0)])[::-1]
     temp = win[:MMOV]
     bad = temp < 2
     span_ok = sl + mgs + moves + el <= mrs
@@ -400,6 +404,35 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
     pc_ref = has_pc & (sl_all == 1) & (el_all == 1) & (pc_dis >= 0)
     pc_seed = has_pc & ~pc_ref
 
+    # Cell-vs-interval routing (round 5): a pc_seed pattern's precomp cell
+    # lists ALL co-occurrences of the frequent (a_last, b_first) PAIR, while
+    # the full multi-token phrase is far rarer — its SA interval is usually
+    # orders smaller than the cell (measured 76M pcs items at large512).
+    # When both phrase intervals are valid and the cheaper one is smaller
+    # than the cell, run the pattern through the SCAN path instead: the
+    # scan's move axis covers every legal (gap, span) (m <= mrs-3 < MMOV)
+    # and its query-time gap check evaluates the same physical gap span the
+    # precompute build checked, so the emitted (pattern, spos, length) rows
+    # are identical — enforced by the oracle-conformance suite.  A pattern
+    # whose full phrase does not occur at all (invalid/empty interval) can
+    # have no hits and skips both routes.  CGX_NO_PCS_ROUTE=1 restores the
+    # always-seed behavior (A/B).
+    import os as _os
+    lm64 = p1.longestmatch.astype(np.int64)
+
+    def _phrase_valid(tk, ln):
+        return np.where(ln == 1, p1.up[tk] >= 0, ln <= lm64[tk])
+
+    phrase_ok = _phrase_valid(tok_all, sl_all) \
+        & _phrase_valid(stok_all, el_all) & (dis1 >= 0) & (dis2 >= 0)
+    if _os.environ.get("CGX_NO_PCS_ROUTE"):
+        routed = np.zeros_like(pc_seed)
+    else:
+        routed = pc_seed & (~phrase_ok
+                            | (np.minimum(dis1, dis2) + 1 < pc_dis + 1))
+    pc_seed = pc_seed & ~routed
+    scan_member = ~has_pc | (routed & phrase_ok)
+
     mk.mark("prep")
     rows_parts = []
 
@@ -431,20 +464,39 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
     # trips, so small batches keep the fused kernels.  CGX_FUSED_GAPCHECK=1/0
     # forces fused/two-phase (A/B).
     n_scan_total = int((np.minimum(dis1, dis2) + 1)
-                       .clip(min=0)[~has_pc].sum())
+                       .clip(min=0)[scan_member].sum())
     fused = _fused_gapcheck(n_scan_total)
     seed_ids = np.flatnonzero(pc_seed)
     pcs_job = None
     if len(seed_ids):
-        counts_s = (pc_dis[seed_ids] + 1).clip(min=0)
+        # Dedup identical verification jobs ACROSS patterns/queries before
+        # dispatch: the ok bits depend only on (cell, sl, el, the four
+        # resolved query tokens) — exactly the kernel inputs — and at
+        # whole-test-set batch sizes the same frequent-pair cells recur
+        # across queries (measured 76M items -> a fraction after dedup at
+        # large512).  One representative pattern runs per distinct job; hits
+        # broadcast back to every member pattern below.
+        qpad = np.asarray(queries.padded_tokens()).astype(np.int64)
+        s64, e64 = sl_all[seed_ids], el_all[seed_ids]
+        t64, st64 = tok_all[seed_ids], stok_all[seed_ids]
+        key = np.stack([pci[seed_ids], s64, e64,
+                        qpad[t64 + np.maximum(s64 - 2, 0)],
+                        qpad[t64 + np.maximum(s64 - 3, 0)],
+                        qpad[st64 + 1], qpad[st64 + 2]], axis=1)
+        _, rep_ix, inv = np.unique(key, axis=0, return_index=True,
+                                   return_inverse=True)
+        reps = seed_ids[rep_ix]
+        counts_s = (pc_dis[reps] + 1).clip(min=0)
+        n_orig = int((pc_dis[seed_ids] + 1).clip(min=0).sum())
         disp = lambda: engine.pcs_expanded(
-            queries, pc, pc.index_start[pci[seed_ids]].astype(np.int64),
-            counts_s, sl_all[seed_ids], el_all[seed_ids], tok_all[seed_ids],
-            stok_all[seed_ids], fetch=False)
-        pcs_job = (counts_s, pool.submit(disp) if par else disp())
+            queries, pc, pc.index_start[pci[reps]].astype(np.int64),
+            counts_s, sl_all[reps], el_all[reps], tok_all[reps],
+            stok_all[reps], fetch=False)
+        pcs_job = (counts_s, reps, inv,
+                   pool.submit(disp) if par else disp())
     scan_jobs = []
     for fwd in (True, False):
-        ids = np.flatnonzero(~has_pc & (use_fwd == fwd))
+        ids = np.flatnonzero(scan_member & (use_fwd == fwd))
         if not len(ids):
             continue
         lo = np.where(fwd, r1u, r2u)[ids]
@@ -459,19 +511,34 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
     mk.mark("dispatch")
 
     if pcs_job is not None:
-        counts_s, pend = pcs_job
+        counts_s, reps, inv, pend = pcs_job
         if par:
             pend = pend.result()
         (ok,) = pend.get()
-        mk.mark(f"pcs_fetch[{int(counts_s.sum())}]")
+        mk.mark(f"pcs_fetch[{int(counts_s.sum())}/{n_orig}]")
         hit = np.flatnonzero(np.asarray(ok, bool))
         if len(hit):
-            pat, tx, _ = expand_hits(hit, counts_s, seed_ids)
-            row = pc.index_start[pci[pat]] + tx
-            spos = pc.onegap_start[row].astype(np.int64) - sl_all[pat] + 1
-            length = pc.onegap_length[row].astype(np.int64) \
-                + sl_all[pat] - 1 + el_all[pat] - 1
-            rows_parts.append(np.stack([pat, spos, length], axis=1))
+            # hits are per REPRESENTATIVE job; broadcast to every member
+            # pattern of the job's dedup group (same cell + sl/el + tokens,
+            # so spos/length formulas below agree per group)
+            rgrp, tx, _ = expand_hits(hit, counts_s)
+            hit_counts = np.bincount(rgrp, minlength=len(reps))
+            gstart = np.concatenate([[0], np.cumsum(hit_counts)])[:-1]
+            order = np.argsort(inv, kind="stable")
+            members = seed_ids[order]
+            mcounts = hit_counts[inv[order]]
+            pat = np.repeat(members, mcounts)
+            if len(pat):
+                moffs = np.concatenate([[0], np.cumsum(mcounts)])[:-1]
+                idx = (np.repeat(gstart[inv[order]], mcounts)
+                       + np.arange(int(mcounts.sum()))
+                       - np.repeat(moffs, mcounts))
+                tx_m = tx[idx]
+                row = pc.index_start[pci[pat]] + tx_m
+                spos = pc.onegap_start[row].astype(np.int64) - sl_all[pat] + 1
+                length = pc.onegap_length[row].astype(np.int64) \
+                    + sl_all[pat] - 1 + el_all[pat] - 1
+                rows_parts.append(np.stack([pat, spos, length], axis=1))
         mk.mark("pcs_post")
 
     hit_parts = []

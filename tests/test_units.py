@@ -187,3 +187,15 @@ def test_fuse_below_calibration(monkeypatch):
         assert abs(lk.fuse_below() - 2 * 55e-3 / lk.GAPCHECK_SAVING_S_PER_ITEM) < 1
     finally:
         lk._dispatch_cost_cache[0] = None
+
+
+def test_maxlex_neglog_canonical_zero():
+    """-log10(1.0) is -0.0; the device accumulator must never see it (XLA
+    folds zeros+term to term on TPU, which would print '-0.000000' — a real
+    on-chip conformance failure, round 5).  _neglog canonicalizes +-0 -> +0
+    and maps non-positive probabilities to +inf."""
+    from cgx_tpu.features.maxlex import _neglog
+    out = _neglog(np.array([1.0, 0.5, 0.0, -0.5], np.float32))
+    assert out[0].view(np.int32) == 0            # +0.0, not -0.0 (0x80000000)
+    assert out[1] > 0 and np.isfinite(out[1])
+    assert np.isinf(out[2]) and np.isinf(out[3])

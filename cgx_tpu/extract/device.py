@@ -24,6 +24,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from cgx_tpu.utils import aot
 import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
@@ -377,7 +379,7 @@ def _extract_contig_item(refstr, rlp, lr_tar, mrs, msym, cs, lm):
 
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "msym"))
+@functools.partial(aot.jit, static_argnames=("mrs", "msym"))
 def _contig_batch(refstr, refsa, rlp, lr_tar, sa_pos, lm, offs, mrs, msym):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
     cs = refsa[sa_pos]
@@ -385,7 +387,7 @@ def _contig_batch(refstr, refsa, rlp, lr_tar, sa_pos, lm, offs, mrs, msym):
     return jax.vmap(f)(cs, lm)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "msym"))
+@functools.partial(aot.jit, static_argnames=("mrs", "msym"))
 def _contig_batch_pos(refstr, rlp, lr_tar, cs, lm, offs, mrs, msym):
     """Position-based variant for the sharded-index layout (occurrence
     positions already resolved from the rank-sharded SA)."""
@@ -610,7 +612,7 @@ def _extract_onegap_item(refstr, rlp, lr_tar, mrs, msym, cs, first_end,
                        jnp.where(axbx[0], gap1s, axbx[1]),
                        jnp.where(axbx[0], gap1e, axbx[1]),
                        axbx[3], axbx[4])
-@functools.partial(jax.jit, static_argnames=("mrs", "msym"))
+@functools.partial(aot.jit, static_argnames=("mrs", "msym"))
 def _onegap_batch(refstr, rlp, lr_tar, cs, first_end, sl, el, offs, mrs, msym):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
     f = functools.partial(_extract_onegap_item, refstr, rlp, lr_tar,
@@ -738,7 +740,7 @@ def _extract_twogap_item(refstr, rlp, lr_tar, mrs, cs, first_end,
     return _pack_family(code == 1, ts, te, g1s, g1e, g2s, g2e)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs",))
+@functools.partial(aot.jit, static_argnames=("mrs",))
 def _twogap_batch(refstr, rlp, lr_tar, cs, fe, se, sl, el, cl, offs, mrs):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
     f = functools.partial(_extract_twogap_item, refstr, rlp, lr_tar, mrs)

@@ -31,6 +31,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from cgx_tpu.utils import aot
 import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
@@ -156,7 +158,7 @@ def _accum_sequential(term_fge, nsrc, term_egf, tmask):
     return fge, egf
 
 
-@jax.jit
+@aot.jit
 def _accum_batch_dense(L1, L2, tgt_str, maxscore, sp, t0, tend, g1, g11,
                        g2, g21):
     """Dense-matrix probe + on-device accumulation over NEG-LOG tables:
@@ -211,7 +213,7 @@ def _tgt_range_lookup_neglog(lt, lv, lo0, hi0, t, steps: int):
     return jnp.where(found, lv[loc], jnp.float32(jnp.inf))
 
 
-@functools.partial(jax.jit, static_argnames=("steps",))
+@functools.partial(aot.jit, static_argnames=("steps",))
 def _accum_batch_range(rs, re, lt, lnv1, lnv2, tgt_str, maxscore, sp, t0,
                        tend, g1, g11, g2, g21, steps):
     """Row-range probe over NEG-LOG value columns + on-device accumulation

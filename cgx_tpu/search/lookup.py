@@ -19,6 +19,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from cgx_tpu.utils import aot
 import numpy as np
 
 from cgx_tpu.config import ExtractorConfig
@@ -231,7 +233,7 @@ def _qtok_bwd(qtokens, tok, sl):
             qtokens[tok + jnp.maximum(sl - 3, 0)])
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "do_gap"))
+@functools.partial(aot.jit, static_argnames=("mrs", "mgs", "do_gap"))
 def _fwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, stok,
                offs, mrs, mgs, do_gap=True):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
@@ -240,7 +242,7 @@ def _fwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, stok,
     return jax.vmap(f)(gostart, sl, el, b0, b1, b2)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "do_gap"))
+@functools.partial(aot.jit, static_argnames=("mrs", "mgs", "do_gap"))
 def _bwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, tok,
                offs, mrs, mgs, do_gap=True):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
@@ -249,7 +251,7 @@ def _bwd_batch(refstr, rlp, lr_tar, qtokens, gostart, sl, el, tok,
     return jax.vmap(f)(gostart, sl, el, a0, a1, a2)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs",))
+@functools.partial(aot.jit, static_argnames=("mrs",))
 def _pcs_batch(refstr, qtokens, pstart, plen, sl, el, tok, stok, offs, mrs):
     refstr, _, _ = make_views(refstr, refstr, refstr, offs)
     f = functools.partial(_pcs_item, refstr, mrs)
@@ -269,7 +271,7 @@ def _pcs_batch(refstr, qtokens, pstart, plen, sl, el, tok, stok, offs, mrs):
 # gathers cost ~20 gathered words/item).
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd", "do_gap"))
+@functools.partial(aot.jit, static_argnames=("mrs", "mgs", "fwd", "do_gap"))
 def _scan_batch_cols(refstr, rlp, lr_tar, gostart, sl, el, w0, w1, w2,
                      offs, mrs, mgs, fwd, do_gap=True):
     """Forward/backward scans over host-resolved per-item columns; ``w*`` are
@@ -280,7 +282,7 @@ def _scan_batch_cols(refstr, rlp, lr_tar, gostart, sl, el, w0, w1, w2,
     return jax.vmap(f)(gostart, sl, el, w0, w1, w2)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs",))
+@functools.partial(aot.jit, static_argnames=("mrs",))
 def _pcs_batch_cols(refstr, pstart, plen, sl, el, pa1, pa2, pb2, pb3,
                     offs, mrs):
     """Precomp-seed verification over host-resolved columns, bit-packed out:
@@ -309,7 +311,7 @@ def _cumsum_expand(offs_pad, start, pat0, d_real, n: int):
     return pat, tx
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "n"))
+@functools.partial(aot.jit, static_argnames=("mrs", "n"))
 def _pcs_batch_exp(refstr, pcrows, pattab, offs_pad, start, pat0, d_real,
                    offs, mrs, n):
     """Precomp-seed verification with on-device item expansion: per item, one
@@ -330,7 +332,7 @@ def _pcs_batch_exp(refstr, pcrows, pattab, offs_pad, start, pat0, d_real,
                     axis=1, dtype=jnp.uint32),)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd", "n",
+@functools.partial(aot.jit, static_argnames=("mrs", "mgs", "fwd", "n",
                                               "do_gap"))
 def _scan_batch_exp(refstr, rlp, lr_tar, sa, pattab, offs_pad, start, pat0,
                     d_real, offs, mrs, mgs, fwd, n, do_gap=True):
@@ -636,7 +638,7 @@ def _two_item(refstr, rlp, lr_tar, mrs, mgs, do_gap, pstart, plen):
     return (jnp.sum(jnp.where(cand, jnp.int32(1) << moves, 0)), gcw)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "do_gap"))
+@functools.partial(aot.jit, static_argnames=("mrs", "mgs", "do_gap"))
 def _two_batch(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs,
                do_gap=True):
     refstr, rlp, lr_tar = make_views(refstr, rlp, lr_tar, offs)
@@ -644,7 +646,7 @@ def _two_batch(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs,
     return jax.vmap(f)(pstart, plen)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "do_gap"))
+@functools.partial(aot.jit, static_argnames=("mrs", "mgs", "do_gap"))
 def _two_batch_packed(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs,
                       do_gap=True):
     """_two_batch with both masks in one word (cand low 16, gc high 16):
@@ -655,7 +657,7 @@ def _two_batch_packed(refstr, rlp, lr_tar, pstart, plen, offs, mrs, mgs,
     return (cand.astype(jnp.uint32) | (gc.astype(jnp.uint32) << 16),)
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "n", "do_gap"))
+@functools.partial(aot.jit, static_argnames=("mrs", "mgs", "n", "do_gap"))
 def _two_batch_exp(refstr, rlp, lr_tar, ogrows, pcrows, pattab, offs_pad,
                    start, pat0, d_real, offs, mrs, mgs, n, do_gap=True):
     """_two_batch_packed with on-device item expansion: per item one

@@ -19,6 +19,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from cgx_tpu.utils import aot
 import numpy as np
 
 from cgx_tpu.types import SEP, Pass1Result, Pass2Result
@@ -215,7 +217,7 @@ def _pass2_item(refstr, refsa, lcpleft, lcpright, qtokens,
     return jnp.where(ok, up, -1), jnp.where(ok, down, -1)
 
 
-@jax.jit
+@aot.jit
 def _pass1_batch(refstr, refsa, lcpleft, lcpright, qtokens, toks, suffixlens,
                  reflen):
     f = functools.partial(_pass1_token, refstr, refsa, lcpleft, lcpright,
@@ -223,7 +225,7 @@ def _pass1_batch(refstr, refsa, lcpleft, lcpright, qtokens, toks, suffixlens,
     return jax.vmap(f)(toks, suffixlens)
 
 
-@jax.jit
+@aot.jit
 def _pass2_batch(refstr, refsa, lcpleft, lcpright, qtokens, toks, matches,
                  LLs, MMs, RRs):
     f = functools.partial(_pass2_item, refstr, refsa, lcpleft, lcpright, qtokens)
@@ -366,7 +368,7 @@ def seed_intervals(seed_lo1, seed_hi1, seed_pk, seed_pk3, reflen,
             lo2.astype(np.int32), hi2.astype(np.int32), lo3, hi3)
 
 
-@functools.partial(jax.jit, static_argnames=("depths",))
+@functools.partial(aot.jit, static_argnames=("depths",))
 def _refine_chunk_local(sa, refstr, qtok, toks, sls, lo, hi, d0, *, depths):
     """Single-device refinement: ``depths`` levels for every lane, two
     lower-bound binary searches per level over chained gathers

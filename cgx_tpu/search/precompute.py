@@ -23,6 +23,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from cgx_tpu.utils import aot
 import numpy as np
 
 from cgx_tpu.config import ExtractorConfig, check_capacity
@@ -33,7 +35,7 @@ from cgx_tpu.types import Precomp
 from cgx_tpu.utils.batching import chunked_batch
 
 
-@functools.partial(jax.jit, static_argnames=("mrs", "mgs", "fwd"))
+@functools.partial(aot.jit, static_argnames=("mrs", "mgs", "fwd"))
 def _gc_batch(rlp, lr_tar, gostart, offs, mrs, mgs, fwd):
     """Gap checks for all MMOV moves of each occurrence; the token scan,
     membership, and ownership tests run on the host (numpy) so only occurrences

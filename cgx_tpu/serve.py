@@ -139,7 +139,16 @@ def main(argv=None) -> int:
                    help="auto-prewarm batch size; set to the production "
                         "batch size so its exact pow2 dispatch-chunk ladder "
                         "compiles (concurrently) before 'ready'")
+    p.add_argument("--aot-cache", metavar="DIR", default=None,
+                   help="persist serialized PJRT executables under DIR and "
+                        "load them on later starts: skips the per-program "
+                        "relay compile/load RPC (measured 10-20x faster "
+                        "per program than the persistent compile cache; "
+                        "utils/aot.py).  CGX_AOT_CACHE env is equivalent")
     args = p.parse_args(argv)
+    if args.aot_cache:
+        from cgx_tpu.utils import aot
+        aot.enable(args.aot_cache)
     import dataclasses
     cfg = dataclasses.replace(DEFAULT_CONFIG, is_sample=not args.no_sample)
     serve_loop(args.reffile, args.reftargetfile, args.alignfile, args.lexfile,

@@ -75,8 +75,8 @@ def main():
         for i, (f, args) in enumerate(progs):
             t0 = time.perf_counter()
             with open(f"{OUT}/prog{i}.pkl", "rb") as fh:
-                payload = pickle.load(fh)
-            comp = se.deserialize_and_load(payload)
+                payload, in_tree, out_tree = pickle.load(fh)
+            comp = se.deserialize_and_load(payload, in_tree, out_tree)
             np.asarray(comp(*args))
             print(f"prog{i}: deserialize+load+exec {time.perf_counter()-t0:.3f}s")
     elif mode == "cache":

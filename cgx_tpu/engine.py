@@ -413,8 +413,8 @@ class ReplicatedEngine:
 
     def gap_check(self, gostart, fwd, fetch=True):
         """Precompute gap-consistency windows (search.precompute._gc_batch):
-        [n, MMOV] bool of which forward/backward moves from each occurrence
-        pass the target-side gap check."""
+        one packed uint32 bitmask per occurrence of which forward/backward
+        moves pass the target-side gap check (decode: precompute.gc_bit)."""
         from cgx_tpu.search.precompute import _gc_batch
         ix, cfg = self.index, self.cfg
         return chunked_batch(

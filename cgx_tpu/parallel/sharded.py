@@ -576,7 +576,7 @@ class ShardedEngine:
                                      fwd),),
                 [g], fetch=False)
         return self._partitioned(gostart, [gostart], run_one,
-                                 [((MMOV,), bool)], fetch=fetch)
+                                 [((), np.uint32)], fetch=fetch)
 
     # -- extraction kernels ------------------------------------------------
     def contig(self, sa_pos, lm, fetch=True):

@@ -567,8 +567,9 @@ def one_gap_lookup_tpu(index, sa_host: np.ndarray, queries, p1, p2,
 
     for fwd, pat, mm, gostart, gcp in hit_parts:
         if gcp is not None:
+            from cgx_tpu.search.precompute import gc_bit
             (gc,) = gcp.get()
-            keep = np.asarray(gc, bool)[np.arange(len(mm)), mm]
+            keep = gc_bit(gc, mm)
             mk.mark(f"gc_fetch[{len(mm)}->{int(keep.sum())}]")
             pat, mm, gostart = pat[keep], mm[keep], gostart[keep]
             if not len(pat):
@@ -768,8 +769,9 @@ def two_gap_lookup_tpu(index, queries, search1: OneGapSearch,
     two_id_all = korder[np.minimum(ki, len(korder) - 1)]
     length2 = fes + 1 + mgs + mm
     if gcp is not None:
+        from cgx_tpu.search.precompute import gc_bit
         (gc2,) = gcp.get()
-        hit[idx] &= np.asarray(gc2, bool)[np.arange(len(idx)), mm[idx]]
+        hit[idx] &= gc_bit(gc2, mm[idx])
         mk.mark(f"gc_fetch[{len(idx)}->{int(hit.sum())}]")
     two_id = two_id_all[hit]
     rows = np.stack([two_id, css[hit], fes[hit],

@@ -37,14 +37,26 @@ from cgx_tpu.utils.batching import chunked_batch
 
 @functools.partial(aot.jit, static_argnames=("mrs", "mgs", "fwd"))
 def _gc_batch(rlp, lr_tar, gostart, offs, mrs, mgs, fwd):
-    """Gap checks for all MMOV moves of each occurrence; the token scan,
-    membership, and ownership tests run on the host (numpy) so only occurrences
-    that own at least one cell candidate reach the device."""
+    """Gap checks for all MMOV moves of each occurrence, PACKED one uint32
+    bitmask per occurrence (4 B/item D2H instead of the [n, MMOV] bool's
+    16 B — the two-phase gap check fetches ~700k anchors at large512); the
+    token scan, membership, and ownership tests run on the host (numpy) so
+    only occurrences that own at least one cell candidate reach the device.
+    Decode with ``gc_bit``."""
     from cgx_tpu.utils.views import make_views
     _, rlp, lr_tar = make_views(rlp, rlp, lr_tar, offs)
     anchor = gostart + 1 if fwd else gostart - 1
     f = functools.partial(_gap_check_grow, rlp, lr_tar)
-    return jax.vmap(lambda a: f(a, mgs - 1, mrs, fwd))(anchor)
+    gc = jax.vmap(lambda a: f(a, mgs - 1, mrs, fwd))(anchor)
+    bits = jnp.arange(MMOV, dtype=jnp.uint32)
+    return jnp.sum(gc.astype(jnp.uint32) << bits[None, :], axis=1,
+                   dtype=jnp.uint32)
+
+
+def gc_bit(gc_words, mm) -> np.ndarray:
+    """Host decode of _gc_batch's packed masks: move ``mm[i]``'s bit of
+    occurrence i."""
+    return ((np.asarray(gc_words, np.uint32) >> np.asarray(mm)) & 1) == 1
 
 
 def _host_scan(refstr, tokens, counts, tok_idx, gostart, mrs, mgs, fwd):
@@ -167,7 +179,7 @@ def precompute_tpu(index, source: SourceCorpus, sa: SAIndex,
         gc = pend.get()[0]
         ii_l, mm = np.nonzero(owns[live])
         ii = live[ii_l]
-        hit = gc[ii_l, mm]
+        hit = gc_bit(np.asarray(gc)[ii_l], mm)
         np.add.at(missing, cell[ii, mm][~hit], 1)
         if hit.any():
             rows_parts.append(np.stack([
